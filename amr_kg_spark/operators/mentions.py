@@ -1,0 +1,108 @@
+"""Vectorized dictionary/pattern mention detection.
+
+One Arrow pandas UDF scans each turn's text exactly once per entity class
+with a single compiled alternation regex (longest-pattern-first, word
+boundaries). This replaces the reference's per-row Python loops + dict
+lookups (reference src/relations.py:181, src/amr.py:171-177) with a
+batched, JVM<->Arrow pipeline: cost is O(total_text_bytes), independent of
+vocabulary size at match time, and the vocabulary ships once per executor
+via closure capture (it is dimension-table sized).
+
+Semantics (deterministic, oracle-checkable):
+- a vocabulary term matches iff it appears in the text delimited by
+  non-alphanumeric characters on both sides (so 'Escherichia coli' does
+  not fire inside 'Escherichia coliX');
+- at a given position the LONGEST vocabulary term wins within a class
+  (standard gazetteer behavior — 'Escherichia coli K12' beats
+  'Escherichia coli', mirroring the reference's strain-alias keys,
+  reference src/constants.py:14-50); matches within a class do not overlap;
+- classes are matched independently (a compound and a pathogen may overlap);
+- MIC/pChEMBL-style activity values match the value+unit pattern
+  (shape per reference src/amr.py:396).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import vocab
+from ..schemas import MENTION
+
+_BOUND_L = r"(?<![A-Za-z0-9])"
+_BOUND_R = r"(?![A-Za-z0-9])"
+
+
+def default_vocabularies() -> dict[str, list[str]]:
+    """Entity classes -> gazetteer terms (the reference's five classes)."""
+    return {
+        "pathogen": [p for p, _ in vocab.PATHOGENS]
+        + [a for a, _ in vocab.STRAIN_ALIASES],
+        "compound": [c[0] for c in vocab.COMPOUNDS],
+        "institution": [i[1] for i in vocab.INSTITUTES],
+    }
+
+
+def compile_detectors(
+    vocabularies: dict[str, list[str]],
+    activity_pattern: str = vocab.ACTIVITY_PATTERN,
+) -> dict[str, re.Pattern]:
+    """One alternation regex per class, longest term first."""
+    dets: dict[str, re.Pattern] = {}
+    for cls, terms in vocabularies.items():
+        alts = "|".join(
+            re.escape(t) for t in sorted(terms, key=len, reverse=True)
+        )
+        dets[cls] = re.compile(f"{_BOUND_L}(?:{alts}){_BOUND_R}")
+    if activity_pattern:
+        dets["activity"] = re.compile(f"{_BOUND_L}(?:{activity_pattern}){_BOUND_R}")
+    return dets
+
+
+def detect_mentions(
+    turns: DataFrame,
+    vocabularies: dict[str, list[str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Append a ``mentions array<struct<entity_class,mention,start>>`` column.
+
+    mapInPandas-free: a scalar pandas UDF keeps the surrounding projection
+    inside whole-stage codegen and sends only the text column through Arrow.
+    """
+    vocabs = vocabularies or default_vocabularies()
+
+    @F.pandas_udf(T.ArrayType(MENTION))
+    def _detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        dets = compile_detectors(vocabs)  # compiled once per worker
+        for texts in batches:
+            out = []
+            for txt in texts:
+                if txt is None:
+                    out.append([])
+                    continue
+                ms = []
+                for cls, rx in dets.items():
+                    for m in rx.finditer(txt):
+                        ms.append((cls, m.group(0), m.start()))
+                out.append(ms)
+            yield pd.Series(out)
+
+    return turns.withColumn("mentions", _detect(F.col(text_col)))
+
+
+def explode_mentions(
+    with_mentions: DataFrame, keep_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> DataFrame:
+    """UDTF-style flatten: one row per detected mention."""
+    m = F.explode("mentions").alias("m")
+    return with_mentions.select(*keep_cols, m).select(
+        *keep_cols,
+        F.col("m.entity_class").alias("entity_class"),
+        F.col("m.mention").alias("mention"),
+        F.col("m.start").alias("start"),
+    )

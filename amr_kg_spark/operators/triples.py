@@ -1,0 +1,236 @@
+"""Triple extraction + node/edge/triple materialization.
+
+Edge families are the transcript-domain analogues of the reference's
+relation builders (reference src/relations.py):
+
+- compound -testedAgainst-> pathogen   (ASSAY IN, src/relations.py:119-125)
+- pathogen -resistantTo-> compound     (strain-resistantTo-drug per north_star;
+                                        gate = 'resistant to' marker in turn)
+- compound -hasActivity-> value        (MIC/pChEMBL props, src/relations.py:117,
+                                        src/mic-script.py:116 HAS_pIC50)
+- compound -studiedAt-> institution    (WORKS_AT family, src/relations.py:33)
+
+Scale design: co-occurrence pairs are built INSIDE each turn's mention
+array with Catalyst higher-order functions (filter/transform/flatten) —
+zero shuffle, no self-join of the exploded mention table. Linking joins
+are broadcast. The only shuffles in the whole KG build are the final
+dropDuplicates on nodes and any explicit repartition before write.
+
+Node identity is deterministic ``xxhash64(label, name)`` — stable across
+resume/checkpoint (monotonically_increasing_id is forbidden, SURVEY §1.2).
+The undirected triple export reproduces the reference's Cypher
+``Match (n)-[r]-(m)`` (src/amr.py:337-349): every edge appears in both
+directions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import vocab
+from .linking import vocab_tables
+from .mentions import detect_mentions
+
+RESISTANCE_MARKER = " resistant to "
+
+
+def _cls_array(cls: str) -> F.Column:
+    """Distinct mention strings of one class, from the mentions array."""
+    return F.array_distinct(
+        F.transform(
+            F.filter(F.col("mentions"), lambda m: m["entity_class"] == F.lit(cls)),
+            lambda m: m["mention"],
+        )
+    )
+
+
+def cooccurrence_pairs(with_mentions: DataFrame) -> DataFrame:
+    """Per-turn (subj_mention, pred, obj_mention) pairs — no shuffle.
+
+    Pair construction is a per-row array cartesian (flatten∘transform),
+    evaluated inside the scan stage; returns one row per pair.
+    """
+    def cross(a: F.Column, b: F.Column, pred: str, swap: bool = False) -> F.Column:
+        return F.flatten(
+            F.transform(
+                a,
+                lambda x: F.transform(
+                    b,
+                    lambda y: F.struct(
+                        (y if swap else x).alias("subj_mention"),
+                        F.lit(pred).alias("pred"),
+                        (x if swap else y).alias("obj_mention"),
+                    ),
+                ),
+            )
+        )
+
+    df = with_mentions.withColumn("compounds", _cls_array("compound")) \
+        .withColumn("pathogens", _cls_array("pathogen")) \
+        .withColumn("activities", _cls_array("activity")) \
+        .withColumn("institutions", _cls_array("institution")) \
+        .withColumn("is_resistant", F.col("text").contains(RESISTANCE_MARKER))
+
+    pairs = F.concat(
+        F.when(
+            F.col("is_resistant"),
+            cross(F.col("compounds"), F.col("pathogens"), "resistantTo", swap=True),
+        ).otherwise(
+            cross(F.col("compounds"), F.col("pathogens"), "testedAgainst")
+        ),
+        cross(F.col("compounds"), F.col("activities"), "hasActivity"),
+        cross(F.col("compounds"), F.col("institutions"), "studiedAt"),
+    )
+    return (
+        df.withColumn("pair", F.explode(pairs))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("pair.subj_mention").alias("subj_mention"),
+            F.col("pair.pred").alias("pred"),
+            F.col("pair.obj_mention").alias("obj_mention"),
+        )
+    )
+
+
+def _entity_resolution(spark: SparkSession) -> DataFrame:
+    """Broadcast dimension: mention -> (label, canonical name, curie).
+
+    Encodes strain normalization (J2) and the compound id priority chain
+    (J5, chembl > pubchem > spark > drug.central)."""
+    v = vocab_tables(spark)
+    p = vocab.CURIE_PREFIX
+
+    pathogens = (
+        v["pathogen"]
+        .select(
+            F.col("pathogen").alias("mention"),
+            F.lit("Pathogen").alias("label"),
+            F.col("pathogen").alias("name"),
+            F.concat(F.lit(p["ncbitaxon"]), F.col("ncbitaxon")).alias("curie"),
+        )
+    )
+    strains = (
+        v["strain_alias"]
+        .join(v["pathogen"], F.col("canonical") == F.col("pathogen"), "left")
+        .select(
+            F.col("alias").alias("mention"),
+            F.lit("Pathogen").alias("label"),
+            F.col("canonical").alias("name"),
+            F.concat(F.lit(p["ncbitaxon"]), F.col("ncbitaxon")).alias("curie"),
+        )
+    )
+    compounds = v["compound"].select(
+        F.col("pref_name").alias("mention"),
+        F.lit("Compound").alias("label"),
+        F.col("pref_name").alias("name"),
+        F.coalesce(
+            F.concat(F.lit(p["chembl"]), F.col("chembl_id")),
+            F.concat(F.lit(p["pubchem"]), F.col("pubchem_id")),
+            F.concat(F.lit(p["spark"]), F.col("spark_id")),
+            F.concat(F.lit(p["drugcentral"]), F.col("drugcentral_id")),
+        ).alias("curie"),
+    )
+    institutes = v["institute"].select(
+        F.col("institute").alias("mention"),
+        F.lit("Institution").alias("label"),
+        F.col("institute").alias("name"),
+        F.concat(F.lit(p["institute"]), F.lower(F.col("institute"))).alias("curie"),
+    )
+    return pathogens.unionByName(strains).unionByName(compounds).unionByName(institutes)
+
+
+def resolve_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Resolve both endpoints via one broadcast dim; activity values resolve
+    to themselves (label Activity, no curie)."""
+    dim = F.broadcast(_entity_resolution(spark))
+
+    def side(df: DataFrame, col: str, out: str) -> DataFrame:
+        d = dim.select(
+            F.col("mention").alias(f"_{out}_mention"),
+            F.col("label").alias(f"{out}_label"),
+            F.col("name").alias(f"_{out}_name"),
+            F.col("curie").alias(f"{out}_curie"),
+        )
+        df = df.join(d, F.col(col) == F.col(f"_{out}_mention"), "left")
+        # activity literals: pass through as Activity nodes
+        return (
+            df.withColumn(
+                f"{out}_label", F.coalesce(f"{out}_label", F.lit("Activity"))
+            )
+            .withColumn(out, F.coalesce(f"_{out}_name", F.col(col)))
+            .drop(f"_{out}_mention", f"_{out}_name")
+        )
+
+    resolved = side(side(pairs, "subj_mention", "subj"), "obj_mention", "obj")
+    return resolved.select(
+        "conv_id", "turn_idx",
+        "subj", "subj_label", "subj_curie",
+        "pred",
+        "obj", "obj_label", "obj_curie",
+    )
+
+
+def build_nodes(resolved: DataFrame) -> DataFrame:
+    """Distinct typed nodes with deterministic ids (A1/A4 dedup)."""
+    subj = resolved.select(
+        F.col("subj_label").alias("label"),
+        F.col("subj").alias("name"),
+        F.col("subj_curie").alias("curie"),
+    )
+    obj = resolved.select(
+        F.col("obj_label").alias("label"),
+        F.col("obj").alias("name"),
+        F.col("obj_curie").alias("curie"),
+    )
+    return (
+        subj.unionByName(obj)
+        .dropDuplicates(["label", "name"])
+        .withColumn("node_id", F.xxhash64("label", "name"))
+        .withColumn("props", F.create_map(F.lit("source"), F.lit("transcripts")))
+        .select("node_id", "label", "name", "curie", "props")
+    )
+
+
+def build_edges(resolved: DataFrame) -> DataFrame:
+    """Multi-edges (one per co-occurrence event), props carry provenance —
+    MapType because the reference emits dynamic property keys
+    (src/relations.py:208-209)."""
+    return resolved.select(
+        F.xxhash64("subj_label", "subj").alias("src_id"),
+        F.xxhash64("obj_label", "obj").alias("dst_id"),
+        F.col("pred").alias("rel_type"),
+        F.create_map(
+            F.lit("conv_id"), F.col("conv_id"),
+            F.lit("turn_idx"), F.col("turn_idx").cast("string"),
+        ).alias("props"),
+    )
+
+
+def build_triples(resolved: DataFrame) -> DataFrame:
+    """Distinct (subj, pred, obj) triple table — the parity surface."""
+    return resolved.select(
+        "subj", "subj_curie", "pred", "obj", "obj_curie"
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+
+def export_undirected(triples: DataFrame) -> DataFrame:
+    """Reference's undirected Cypher export (src/amr.py:344): each triple in
+    both directions."""
+    fwd = triples.select("subj", "subj_curie", "pred", "obj", "obj_curie")
+    rev = triples.select(
+        F.col("obj").alias("subj"),
+        F.col("obj_curie").alias("subj_curie"),
+        "pred",
+        F.col("subj").alias("obj"),
+        F.col("subj_curie").alias("obj_curie"),
+    )
+    return fwd.unionByName(rev)
+
+
+def extract_triples(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """transcripts -> distinct triples (the flagship path)."""
+    with_mentions = detect_mentions(transcripts)
+    pairs = cooccurrence_pairs(with_mentions)
+    return build_triples(resolve_pairs(spark, pairs))

@@ -1,0 +1,302 @@
+"""KG-construction queries + independent DuckDB oracles.
+
+The Spark side runs the real engine (pandas-UDF mention detection,
+broadcast linking, higher-order-function pair building). The oracle side
+recomputes the expected answer in pure SQL from the *planting arithmetic*
+of :mod:`amr_kg_spark.transcripts` — a genuinely independent derivation, so
+agreement means the extraction actually recovered what was planted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import vocab
+from ..operators.linking import link_compounds, link_pathogens, vocab_tables
+from ..operators.mentions import detect_mentions, explode_mentions
+from ..operators.reconstruct import conversation_text, ordered_turns
+from ..operators.triples import (
+    build_nodes,
+    build_edges,
+    cooccurrence_pairs,
+    export_undirected,
+    extract_triples,
+    resolve_pairs,
+)
+from ..transcripts import derive_transcripts, transcripts_oracle_cte
+from ..vocab import sql_values
+
+# ---------------------------------------------------------------------------
+# oracle SQL building blocks (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _with_transcripts(body: str, extra_ctes: str = "") -> str:
+    return f"WITH {transcripts_oracle_cte()}{extra_ctes}\n{body}"
+
+
+def _species_shadow() -> dict[str, str]:
+    """species -> alias that shadows it (longest-match-first emulation)."""
+    return {canon: alias for alias, canon in vocab.STRAIN_ALIASES}
+
+
+def _gazetteer_values() -> str:
+    rows: list[tuple] = []
+    shadow = _species_shadow()
+    for p, _ in vocab.PATHOGENS:
+        rows.append(("pathogen", p, shadow.get(p)))
+    for a, _ in vocab.STRAIN_ALIASES:
+        rows.append(("pathogen", a, None))
+    for c in vocab.COMPOUNDS:
+        rows.append(("compound", c[0], None))
+    for i in vocab.INSTITUTES:
+        rows.append(("institution", i[1], None))
+    return sql_values(rows, ["entity_class", "term", "shadow"])
+
+
+def _pathogen_pick_values() -> str:
+    """idx 0..11 -> (term, canonical, ncbitaxon), matching the derivation."""
+    taxon = dict(vocab.PATHOGENS)
+    rows = []
+    for i, (p, t) in enumerate(vocab.PATHOGENS):
+        rows.append((i, p, p, t))
+    for j, (a, canon) in enumerate(vocab.STRAIN_ALIASES):
+        rows.append((8 + j, a, canon, taxon[canon]))
+    return sql_values(rows, ["idx", "term", "canonical", "ncbitaxon"])
+
+
+def _compound_pick_values() -> str:
+    rows = [(i, *c) for i, c in enumerate(vocab.COMPOUNDS)]
+    return sql_values(
+        rows, ["idx", "pref_name", "chembl_id", "pubchem_id", "spark_id", "drugcentral_id"]
+    )
+
+
+def _institute_pick_values() -> str:
+    rows = [(i, r[1]) for i, r in enumerate(vocab.INSTITUTES)]
+    return sql_values(rows, ["idx", "institute"])
+
+
+def _unit_pick_values() -> str:
+    rows = [(i, u) for i, u in enumerate(vocab.ACTIVITY_UNITS)]
+    return sql_values(rows, ["idx", "unit"])
+
+
+_COMPOUND_CURIE = (
+    "COALESCE('chembl:' || chembl_id, 'pubchem:' || pubchem_id, "
+    "'spark:' || spark_id, 'drug.central:' || drugcentral_id)"
+)
+
+# the planted ground truth, recomputed from doc_id arithmetic
+_PLANTED_CTE = f""",
+pp AS (SELECT * FROM {_pathogen_pick_values()}),
+cp AS (SELECT idx, pref_name, {_COMPOUND_CURIE} AS compound_curie FROM {_compound_pick_values()}),
+ip AS (SELECT * FROM {_institute_pick_values()}),
+up AS (SELECT * FROM {_unit_pick_values()}),
+planted AS (
+  SELECT d.doc_id,
+         pp.term AS pathogen_term, pp.canonical AS pathogen,
+         'ncbitaxon:' || pp.ncbitaxon AS pathogen_curie,
+         cp.pref_name AS compound, cp.compound_curie,
+         d.doc_id % 7 = 0 AS resistant,
+         d.doc_id % 3 = 0 AS has_activity,
+         CAST(d.doc_id % 64 AS VARCHAR) || '.' || CAST(d.doc_id % 10 AS VARCHAR)
+           || ' ' || up.unit AS act_val,
+         d.doc_id % 5 = 0 AS has_inst,
+         ip.institute AS institution,
+         'imi:' || lower(ip.institute) AS institution_curie
+  FROM documents d
+  JOIN pp ON pp.idx = CAST(d.doc_id % 12 AS INT)
+  JOIN cp ON cp.idx = CAST(d.doc_id % 10 AS INT)
+  JOIN ip ON ip.idx = CAST(d.doc_id % 6 AS INT)
+  JOIN up ON up.idx = CAST(FLOOR(d.doc_id / 3) % 3 AS INT)
+)"""
+
+_TRIPLES_ORACLE_BODY = """
+SELECT DISTINCT * FROM (
+  SELECT pathogen AS subj, pathogen_curie AS subj_curie, 'resistantTo' AS pred,
+         compound AS obj, compound_curie AS obj_curie
+  FROM planted WHERE resistant
+  UNION ALL
+  SELECT compound, compound_curie, 'testedAgainst', pathogen, pathogen_curie
+  FROM planted WHERE NOT resistant
+  UNION ALL
+  SELECT compound, compound_curie, 'hasActivity', act_val, CAST(NULL AS VARCHAR)
+  FROM planted WHERE has_activity
+  UNION ALL
+  SELECT compound, compound_curie, 'studiedAt', institution, institution_curie
+  FROM planted WHERE has_inst
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def q_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    return derive_transcripts(spark, sf)
+
+
+def q_reconstruct(spark: SparkSession, sf: str) -> DataFrame:
+    return conversation_text(derive_transcripts(spark, sf))
+
+
+def q_ordered_turns(spark: SparkSession, sf: str) -> DataFrame:
+    return ordered_turns(derive_transcripts(spark, sf))
+
+
+def q_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    t = derive_transcripts(spark, sf)
+    return (
+        explode_mentions(detect_mentions(t))
+        .select("conv_id", "turn_idx", "entity_class", "mention")
+        .distinct()
+    )
+
+
+def q_link_compounds(spark: SparkSession, sf: str) -> DataFrame:
+    t = derive_transcripts(spark, sf)
+    mentions = (
+        explode_mentions(detect_mentions(t))
+        .filter(F.col("entity_class") == "compound")
+        .select("mention")
+        .distinct()
+    )
+    return link_compounds(mentions, vocab_tables(spark)["compound"]).select(
+        "mention", "curie"
+    )
+
+
+def q_link_pathogens(spark: SparkSession, sf: str) -> DataFrame:
+    t = derive_transcripts(spark, sf)
+    mentions = (
+        explode_mentions(detect_mentions(t))
+        .filter(F.col("entity_class") == "pathogen")
+        .select("mention")
+        .distinct()
+    )
+    v = vocab_tables(spark)
+    return link_pathogens(mentions, v["pathogen"], v["strain_alias"]).select(
+        "mention", F.col("canonical").alias("canonical"), "curie"
+    )
+
+
+def q_triples(spark: SparkSession, sf: str) -> DataFrame:
+    return extract_triples(spark, derive_transcripts(spark, sf))
+
+
+def q_triples_undirected(spark: SparkSession, sf: str) -> DataFrame:
+    return export_undirected(extract_triples(spark, derive_transcripts(spark, sf)))
+
+
+def q_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    t = derive_transcripts(spark, sf)
+    resolved = resolve_pairs(spark, cooccurrence_pairs(detect_mentions(t)))
+    return build_nodes(resolved).select("label", "name", "curie")
+
+
+def q_edge_counts(spark: SparkSession, sf: str) -> DataFrame:
+    t = derive_transcripts(spark, sf)
+    resolved = resolve_pairs(spark, cooccurrence_pairs(detect_mentions(t)))
+    return (
+        build_edges(resolved)
+        .groupBy("rel_type")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+
+
+QUERIES = {
+    "kg_transcripts": q_transcripts,
+    "kg_reconstruct": q_reconstruct,
+    "kg_ordered_turns": q_ordered_turns,
+    "kg_mentions": q_mentions,
+    "kg_link_compounds": q_link_compounds,
+    "kg_link_pathogens": q_link_pathogens,
+    "kg_triples": q_triples,
+    "kg_triples_undirected": q_triples_undirected,
+    "kg_nodes": q_nodes,
+    "kg_edge_counts": q_edge_counts,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _mentions_oracle() -> str:
+    gaz = _gazetteer_values()
+    return _with_transcripts(
+        f"""
+SELECT DISTINCT conv_id, turn_idx, entity_class, mention FROM (
+  SELECT t.conv_id, t.turn_idx, g.entity_class, g.term AS mention
+  FROM transcripts t JOIN {gaz.replace('AS t(', 'AS g(')}
+    ON regexp_matches(t.text, '(^|[^A-Za-z0-9])' || g.term || '($|[^A-Za-z0-9])')
+   AND (g.shadow IS NULL OR NOT contains(t.text, g.shadow))
+  UNION ALL
+  SELECT conv_id, turn_idx, 'activity' AS entity_class,
+         unnest(regexp_extract_all(text, '\\d+(?:\\.\\d+)? (?:nM|uM|ug/mL)')) AS mention
+  FROM transcripts
+)"""
+    )
+
+
+def _compound_vocab_cte() -> str:
+    return f"cv AS (SELECT * FROM {vocab.compound_sql()})"
+
+
+ORACLES = {
+    "kg_transcripts": _with_transcripts(
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
+    ),
+    "kg_reconstruct": _with_transcripts(
+        "SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text, "
+        "count(*) AS n_turns FROM transcripts GROUP BY conv_id"
+    ),
+    "kg_ordered_turns": _with_transcripts(
+        "SELECT conv_id, turn_idx, role, text, tool, ts, "
+        "CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS turn_seq "
+        "FROM transcripts"
+    ),
+    "kg_mentions": _mentions_oracle(),
+    "kg_link_compounds": (
+        f"WITH {_compound_vocab_cte()} "
+        f"SELECT pref_name AS mention, {_COMPOUND_CURIE} AS curie FROM cv"
+    ),
+    "kg_link_pathogens": (
+        f"SELECT term AS mention, canonical, 'ncbitaxon:' || ncbitaxon AS curie "
+        f"FROM {_pathogen_pick_values()}"
+    ),
+    "kg_triples": _with_transcripts(_TRIPLES_ORACLE_BODY, _PLANTED_CTE),
+    "kg_triples_undirected": _with_transcripts(
+        f"""
+SELECT subj, subj_curie, pred, obj, obj_curie FROM ({_TRIPLES_ORACLE_BODY}) x
+UNION ALL
+SELECT obj AS subj, obj_curie AS subj_curie, pred, subj AS obj, subj_curie AS obj_curie
+FROM ({_TRIPLES_ORACLE_BODY}) y""",
+        _PLANTED_CTE,
+    ),
+    "kg_nodes": _with_transcripts(
+        f"""
+SELECT DISTINCT * FROM (
+  SELECT 'Pathogen' AS label, pathogen AS name, pathogen_curie AS curie FROM planted
+  UNION ALL
+  SELECT 'Compound', compound, compound_curie FROM planted
+  UNION ALL
+  SELECT 'Activity', act_val, CAST(NULL AS VARCHAR) FROM planted WHERE has_activity
+  UNION ALL
+  SELECT 'Institution', institution, institution_curie FROM planted WHERE has_inst
+)""",
+        _PLANTED_CTE,
+    ),
+    "kg_edge_counts": _with_transcripts(
+        """
+SELECT rel_type, count(*) AS n_edges FROM (
+  SELECT CASE WHEN resistant THEN 'resistantTo' ELSE 'testedAgainst' END AS rel_type FROM planted
+  UNION ALL
+  SELECT 'hasActivity' FROM planted WHERE has_activity
+  UNION ALL
+  SELECT 'studiedAt' FROM planted WHERE has_inst
+) GROUP BY rel_type""",
+        _PLANTED_CTE,
+    ),
+}

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The sandbox runs local[N] in one JVM; the configs below are chosen so the
+same code is correct and fast on a 1000-executor cluster reading ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, empty-relation pruning)
+- Arrow execution for every pandas UDF (the only Python in the engine)
+- shuffle partitions sized for the sandbox; on a real cluster AQE coalesces
+  from a high initial number, so we set the *initial* number high and let
+  AQE shrink rather than hand-picking per job
+- broadcast threshold left at default (10 MB) — every dimension/vocab table
+  in this engine is far below it and is broadcast explicitly anyway
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "amr-kg-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cores`` accepts an int (local[N]) or "*" — defaults to
+    $SPARK_GRAFT_CPUS or all cores.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    nshuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Catalyst / AQE ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        # --- Arrow: the only Python path is pandas UDFs ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: 128 MB splits, same as cluster default ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- deterministic sessions (tests + resume) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
