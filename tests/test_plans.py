@@ -1,0 +1,58 @@
+"""Physical-plan quality gates: these queries must not merely be correct —
+the plan must be the one we'd want at 100 TB (pushed filters, pruned
+columns, broadcast dims, whole-stage codegen)."""
+
+from __future__ import annotations
+
+from amr_kg_spark.queries import relational as R
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_projection_prunes_columns(spark):
+    plan = _plan(R.q_scan_projection(spark, SF_SMALL))
+    assert "ReadSchema" in plan
+    # only the two projected columns reach the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read
+
+
+def test_filters_are_pushed_down(spark):
+    plan = _plan(R.q_filter_pushdown(spark, SF_SMALL))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_returnflag" in pushed[0] and "l_quantity" in pushed[0]
+
+
+def test_dims_are_broadcast(spark):
+    plan = _plan(R.q_broadcast_lookup(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wholestage_codegen_covers_agg(spark):
+    df = R.q_tpch_q1(spark, SF_SMALL)
+    plan = _plan(df)
+    # agg must be partial (map-side combine) before the shuffle
+    assert "partial_sum" in plan
+    # codegen spans only appear on the executed (AQE-finalized) plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in executed or "*(1)" in executed
+
+
+def test_kg_pipeline_has_no_python_row_udfs(spark):
+    """The KG path may use Arrow pandas UDFs (ArrowEvalPython) but never a
+    row-at-a-time BatchEvalPython."""
+    from amr_kg_spark.operators.triples import extract_triples
+    from amr_kg_spark.transcripts import derive_transcripts
+
+    plan = _plan(extract_triples(spark, derive_transcripts(spark, SF_SMALL)))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
