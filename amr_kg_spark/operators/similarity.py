@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k against a query vector —
+  a single scan with a Catalyst-only cosine expression; the correctness
+  baseline and perfectly scan-parallel (no shuffle except the final top-k).
+- ``rhp_ann_topk``: random-hyperplane-LSH bucketed ANN — signs against R
+  random hyperplanes give a b-bit signature; candidates share the
+  signature bucket (multi-probe via hamming-1 neighbors optional), then
+  exact rerank within candidates. The 100 TB path: the bucket join is a
+  hash join on the signature, never |corpus| x |queries|.
+
+Hyperplanes are generated from a seeded RNG on the driver and shipped as
+literals (they are tiny: R x dim floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(x: F.Column, y: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(x: F.Column) -> F.Column:
+    return F.sqrt(_dot(x, x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity; deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def rhp_signature(vec_col: str, hyperplanes: np.ndarray) -> F.Column:
+    """b-bit random-hyperplane signature as a long (b <= 62)."""
+    sig = F.lit(0).cast("long")
+    for i, h in enumerate(hyperplanes):
+        plane = F.array(*[F.lit(float(v)) for v in h])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + F.shiftleft(bit.cast("long"), i)
+    return sig
+
+
+def make_hyperplanes(dim: int, bits: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def rhp_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates = vectors whose RHP signature is within
+    hamming distance 1 of the query's, then exact cosine rerank.
+
+    On a cluster the signature column is precomputed/persisted with the
+    corpus so queries touch only matching buckets (partition pruning by
+    signature).
+    """
+    dim = len(query_vec)
+    planes = make_hyperplanes(dim, bits, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qsig = 0
+    for i, h in enumerate(planes):
+        if float(np.dot(qv, h)) >= 0:
+            qsig |= 1 << i
+    probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(bits)]
+
+    sigged = emb.withColumn("sig", rhp_signature(vec_col, planes))
+    cands = sigged.filter(F.col("sig").isin(probe_sigs))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        cands.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

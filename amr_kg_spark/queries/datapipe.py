@@ -1,9 +1,260 @@
-"""Training-data pipeline operators (dedup / similarity / text analysis).
+"""Training-data pipeline queries (dedup / similarity / text / multimodal)
+with DuckDB oracles wherever the semantics are SQL-expressible.
 
-Filled in milestone 3.
+Rows-only (no oracle, weaker driver check): dp_minhash_pairs and
+dp_ann_topk (approximate by construction — their recall vs the exact
+operators is asserted in tests/test_datapipe.py instead).
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.2
+NEARDUP_COS = 0.8
+
+# shared DuckDB tokenization (mirrors operators.dedup.tokens_col)
+_TOKS = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS}) - {JACCARD_N - 1}, 1)), "
+    f"i -> array_to_string(({_TOKS})[i:i+{JACCARD_N - 1}], ' ')))"
+)
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# --- dedup -----------------------------------------------------------------
+def q_dedup_exact(spark, sf):
+    return D.exact_dedup(_docs(spark, sf), ["text"], "doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_minhash_pairs(spark, sf):
+    return D.minhash_lsh_pairs(_docs(spark, sf), n=JACCARD_N, max_dist=0.8)
+
+
+def q_simhash(spark, sf):
+    return D.simhash32(_docs(spark, sf))
+
+
+def q_emb_neardup(spark, sf):
+    return D.embedding_neardup_pairs(
+        _emb(spark, sf), block_col="label", threshold=NEARDUP_COS
+    )
+
+
+# --- similarity search -------------------------------------------------------
+def _query_vec(spark, sf):
+    row = _emb(spark, sf).filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(v) for v in row["embedding"]]
+
+
+def q_cosine_topk(spark, sf):
+    return S.cosine_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def q_ann_topk(spark, sf):
+    return S.rhp_ann_topk(_emb(spark, sf), _query_vec(spark, sf), k=10, bits=10)
+
+
+# --- text analysis ------------------------------------------------------------
+def q_token_count(spark, sf):
+    return X.token_count(_docs(spark, sf))
+
+
+def q_quality(spark, sf):
+    return X.quality_score(_docs(spark, sf))
+
+
+def q_lang_id(spark, sf):
+    return X.lang_id(_docs(spark, sf))
+
+
+def q_fingerprint(spark, sf):
+    return X.fingerprint(_docs(spark, sf))
+
+
+# --- multimodal plumbing --------------------------------------------------------
+def q_media_features(spark, sf):
+    return M.extract_features(M.synth_media(spark, sf)).select(
+        "media_id", "kind", "n_bytes", "sha"
+    )
+
+
+def q_frame_offsets(spark, sf):
+    return M.frame_sample_offsets(M.synth_media(spark, sf), k=4)
+
+
+QUERIES = {
+    "dp_dedup_exact": q_dedup_exact,
+    "dp_ngram_jaccard": q_ngram_jaccard,
+    "dp_minhash_pairs": q_minhash_pairs,
+    "dp_simhash": q_simhash,
+    "dp_emb_neardup": q_emb_neardup,
+    "dp_cosine_topk": q_cosine_topk,
+    "dp_ann_topk": q_ann_topk,
+    "dp_token_count": q_token_count,
+    "dp_quality": q_quality,
+    "dp_lang_id": q_lang_id,
+    "dp_fingerprint": q_fingerprint,
+    "mm_media_features": q_media_features,
+    "mm_frame_offsets": q_frame_offsets,
+}
+
+_MD5_INT = (
+    "CAST(list_sum(list_transform(generate_series(1, 8), "
+    "p -> (strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1) "
+    "* CAST(POWER(16, 8 - p) AS BIGINT))) AS BIGINT)"
+)
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+_NORM_E = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+)
+_NORM_Q = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+)
+
+def _lang_values() -> str:
+    rows = []
+    for lang in sorted(X.STOPWORDS):
+        arr = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS[lang]) + "]"
+        rows.append(f"('{lang}', {arr})")
+    return "(VALUES " + ", ".join(rows) + ") AS langs(lang, sw)"
+
+
+ORACLES = {
+    "dp_dedup_exact": (
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id IN "
+        "(SELECT min(doc_id) FROM documents GROUP BY text)"
+    ),
+    "dp_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE shared / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= {JACCARD_THRESHOLD}
+""",
+    "dp_simhash": f"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+hh AS (SELECT doc_id, {_MD5_INT} AS h FROM tk),
+votes AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+    "dp_emb_neardup": f"""
+SELECT e.vec_id AS id_a, q.vec_id AS id_b,
+       round({_DOT} / ({_NORM_E} * {_NORM_Q}), 6) AS cosine
+FROM embeddings e JOIN embeddings q
+  ON e.label = q.label AND e.vec_id < q.vec_id
+WHERE {_DOT} / ({_NORM_E} * {_NORM_Q}) >= {NEARDUP_COS}
+""",
+    "dp_cosine_topk": f"""
+SELECT e.vec_id, round({_DOT} / ({_NORM_E} * {_NORM_Q}), 6) AS cosine
+FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY {_DOT} / ({_NORM_E} * {_NORM_Q}) DESC, e.vec_id ASC LIMIT 10
+""",
+    "dp_token_count": (
+        f"SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens, "
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents"
+    ),
+    "dp_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_nonalnum
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_nonalnum AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, round(mean_word_len, 6) AS mean_word_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+             + (1.0 - punct_ratio) * 0.3, 6) AS quality
+FROM m
+""",
+    "dp_lang_id": f"""
+WITH scored AS (
+  SELECT d.doc_id,
+         max(struct_pack(
+           hits := CAST(len(list_filter({_TOKS}, x -> list_contains(langs.sw, x))) AS INT),
+           lang := langs.lang)) AS best
+  FROM documents d CROSS JOIN {_lang_values()}
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+       best.hits AS stopword_hits
+FROM scored
+""",
+    "dp_fingerprint": (
+        f"SELECT doc_id, list_aggregate(list_transform("
+        f"generate_series(1, greatest(len({_TOKS}) - 4, 1)), "
+        f"i -> md5(array_to_string(({_TOKS})[i:i+4], ' '))), 'min') AS fingerprint "
+        "FROM documents"
+    ),
+    "mm_media_features": (
+        "SELECT doc_id AS media_id, "
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS sha FROM documents"
+    ),
+    "mm_frame_offsets": """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(i AS INT) AS frame_no,
+       CAST(FLOOR(i * octet_length(CAST(text AS BLOB)) / 4.0) AS BIGINT) AS offset
+FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+WHERE CAST(doc_id % 3 AS INT) = 2
+""",
+}

@@ -1,0 +1,73 @@
+"""Behavioral tests for the approximate / non-SQL-expressible datapipe ops:
+MinHash-LSH pair recall vs exact Jaccard, ANN recall vs brute-force top-k,
+and the multimodal plumbing (batch shape + stubbed decode)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amr_kg_spark.operators import dedup as D
+from amr_kg_spark.operators import multimodal as M
+from amr_kg_spark.operators import similarity as S
+
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, n=3, max_dist=0.6).collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs at this SF")
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} exact pairs"
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r.vec_id for r in S.cosine_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in S.rhp_ann_topk(emb, q, k=10, bits=8).collect()]
+    # the query vector itself must always be found
+    assert exact[0] == 0 and approx[0] == 0
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"ANN recall {recall} (exact={exact}, approx={approx})"
+
+
+def test_media_features_batch_shape(spark):
+    media = M.synth_media(spark, SF_SMALL)
+    feats = M.extract_features(media).collect()
+    assert len(feats) == media.count()
+    r = feats[0]
+    assert len(r.features) == 8
+    assert abs(sum(r.features) - 1.0) < 0.01  # normalized histogram
+    assert r.sha and len(r.sha) == 64
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...")
+    media = M.synth_media(spark, SF_SMALL).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        M.extract_features(media, fake_decode=False).collect()
+
+
+def test_frame_offsets_monotone(spark):
+    media = M.synth_media(spark, SF_SMALL)
+    rows = M.frame_sample_offsets(media, k=4).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append((r.frame_no, r.offset))
+    for mid, frames in by_media.items():
+        frames.sort()
+        offs = [o for _, o in frames]
+        assert len(offs) == 4
+        assert offs == sorted(offs)
+        assert all(0 <= o for o in offs)
