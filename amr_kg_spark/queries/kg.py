@@ -205,7 +205,22 @@ def q_edge_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative CC (pointer-jumping label propagation) over the
+    nation–region bipartite graph — closed-form oracle: every node's
+    component is the min nation key within its region."""
+    from ..operators.canonicalize import connected_components
+
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey").cast("long") + 1000).alias("dst"),
+    )
+    return connected_components(edges)
+
+
 QUERIES = {
+    "kg_cc_components": q_connected_components,
     "kg_transcripts": q_transcripts,
     "kg_reconstruct": q_reconstruct,
     "kg_ordered_turns": q_ordered_turns,
@@ -245,6 +260,17 @@ def _compound_vocab_cte() -> str:
 
 
 ORACLES = {
+    "kg_cc_components": """
+WITH rmin AS (
+  SELECT n_regionkey, CAST(min(n_nationkey) AS BIGINT) AS comp
+  FROM nation GROUP BY n_regionkey
+)
+SELECT CAST(n_nationkey AS BIGINT) AS node, comp AS component
+FROM nation JOIN rmin USING (n_regionkey)
+UNION ALL
+SELECT DISTINCT CAST(n_regionkey AS BIGINT) + 1000 AS node, comp AS component
+FROM nation JOIN rmin USING (n_regionkey)
+""",
     "kg_transcripts": _with_transcripts(
         "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
     ),

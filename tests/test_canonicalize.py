@@ -1,0 +1,63 @@
+"""Connected components + node canonicalization semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amr_kg_spark.operators.canonicalize import (
+    canonicalize_nodes,
+    connected_components,
+    rewrite_edges,
+)
+
+
+def test_cc_basic_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40  # diameter > default naive expectations; still < max_iter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.agg(F.min("component")).first()[0] == 0
+
+
+def test_canonicalize_merges_props_by_priority(spark):
+    nodes = spark.createDataFrame(
+        [
+            (1, "Compound", "ciprofloxacin", "chembl:8", {"a": "x", "k": "chembl"}, 0),
+            (2, "Compound", "Ciprofloxacin ", "pubchem:2764", {"b": "y", "k": "pubchem"}, 1),
+            (3, "Compound", "CIPROFLOXACIN", "spark:101", {"c": "z"}, 2),
+            (9, "Compound", "Unrelated", "x:1", {"q": "s"}, 1),
+        ],
+        "node_id long, label string, name string, curie string, "
+        "props map<string,string>, priority int",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.canonical_id: r for r in canonicalize_nodes(nodes, pairs).collect()}
+    assert set(out) == {1, 9}
+    merged = out[1]
+    assert merged.merged_from == 3
+    # all keys survive; priority-0 source wins the 'k' collision
+    assert merged.props == {"a": "x", "b": "y", "c": "z", "k": "chembl"}
+    assert merged.curie == "chembl:8"
+    assert out[9].merged_from == 1
+
+
+def test_rewrite_edges_repoints_endpoints(spark):
+    edges = spark.createDataFrame(
+        [(2, 9, "REL", {"p": "1"})],
+        "src_id long, dst_id long, rel_type string, props map<string,string>",
+    )
+    mapping = spark.createDataFrame([(2, 1)], "node long, component long")
+    out = rewrite_edges(edges, mapping).collect()
+    assert out[0].src_id == 1 and out[0].dst_id == 9
