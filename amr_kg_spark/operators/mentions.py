@@ -78,21 +78,85 @@ def detect_mentions(
 
     @F.pandas_udf(T.ArrayType(MENTION))
     def _detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
         dets = compile_detectors(vocabs)  # compiled once per worker
+
         for texts in batches:
-            out = []
-            for txt in texts:
-                if txt is None:
-                    out.append([])
+            # Batch-blob scan: join the whole Arrow batch with '\n' (a
+            # boundary character that no pattern can cross) and run each
+            # class regex ONCE over the blob — cost scales with matches,
+            # not rows, so mention-free turns are nearly free. Offsets map
+            # matches back to rows via vectorized searchsorted.
+            vals = ["" if t is None else t for t in texts]
+            n = len(vals)
+            if n == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            lens = np.fromiter((len(t) + 1 for t in vals), dtype=np.int64, count=n)
+            row_starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=row_starts[1:])
+            blob = "\n".join(vals)
+
+            out: list[list[tuple]] = [[] for _ in range(n)]
+            for cls, rx in dets.items():
+                matches = list(rx.finditer(blob))
+                if not matches:
                     continue
-                ms = []
-                for cls, rx in dets.items():
-                    for m in rx.finditer(txt):
-                        ms.append((cls, m.group(0), m.start()))
-                out.append(ms)
+                starts = np.fromiter(
+                    (m.start() for m in matches), dtype=np.int64, count=len(matches)
+                )
+                rows = np.searchsorted(row_starts, starts, side="right") - 1
+                for m, ri, st in zip(matches, rows, starts):
+                    out[ri].append((cls, m.group(0), int(st - row_starts[ri])))
             yield pd.Series(out)
 
     return turns.withColumn("mentions", _detect(F.col(text_col)))
+
+
+def detect_mentions_jvm(
+    turns: DataFrame,
+    vocabularies: dict[str, list[str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """JVM-side variant: the same gazetteer alternations evaluated with
+    ``regexp_extract_all`` inside whole-stage codegen — zero Python in the
+    plan. Loses match positions (start = -1) but is the fastest path when
+    only mention STRINGS are needed (e.g. co-occurrence triples). Kept
+    alongside the pandas-UDF path (the north-star mandated surface, and
+    the extension point for non-regex detectors like Aho-Corasick or model
+    scoring); both produce the same mention set — asserted in tests.
+    """
+    vocabs = vocabularies or default_vocabularies()
+
+    def _tagged(cls: str, rx: str):
+        # single-arg lambda via closure: a two-arg lambda would receive the
+        # array index as its second argument in Spark's transform()
+        return F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)),
+            lambda m: F.struct(
+                F.lit(cls).alias("entity_class"),
+                m.alias("mention"),
+                F.lit(-1).cast("int").alias("start"),
+            ),
+        )
+
+    per_class = []
+    for cls, terms in vocabs.items():
+        alts = "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True))
+        per_class.append(_tagged(cls, f"{_BOUND_L}(?:{alts}){_BOUND_R}"))
+    act_rx = f"{_BOUND_L}(?:{vocab.ACTIVITY_PATTERN}){_BOUND_R}"
+    per_class.append(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(act_rx), F.lit(0)),
+            lambda m: F.struct(
+                F.lit("activity").alias("entity_class"),
+                m.alias("mention"),
+                F.lit(-1).cast("int").alias("start"),
+            ),
+        )
+    )
+    return turns.withColumn("mentions", F.concat(*per_class))
 
 
 def explode_mentions(

@@ -1,0 +1,66 @@
+"""File sources/sinks mirroring the reference's scan surface (SURVEY §2.1).
+
+The reference reads ISO-8859-1 CSVs with column projection (S1,
+reference src/amr.py:98-103) and TSVs with all-string dtypes (S2,
+src/sources.py:16-26); sinks are TSV dumps (S6/S7, src/amr.py:337-349).
+Here every reader returns a DataFrame with explicit all-string schemas
+(reference semantics: dtype=str) unless a schema is passed, and projection
+is pushed to the scan via select (Catalyst prunes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+REFERENCE_ENCODING = "ISO-8859-1"  # reference src/constants.py:10
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    usecols: list[str] | None = None,
+    encoding: str = REFERENCE_ENCODING,
+    sep: str = ",",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """CSV/TSV scan with projection pushdown; all-string by default
+    (reference reads dtype=str everywhere, src/amr.py:392)."""
+    reader = (
+        spark.read.option("header", "true")
+        .option("encoding", encoding)
+        .option("sep", sep)
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
+    if schema is not None:
+        df = reader.schema(schema).csv(path)
+    else:
+        df = reader.csv(path)  # header-inferred names, string-typed columns
+    if usecols:
+        df = df.select(*usecols)
+    return df
+
+
+def read_tsv(
+    spark: SparkSession, path: str, usecols: list[str] | None = None
+) -> DataFrame:
+    return read_csv(spark, path, usecols=usecols, sep="\t", encoding="UTF-8")
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Triple-dump sink (S6, reference src/amr.py:345-349): header'd TSV."""
+    df.write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
+
+
+def write_parquet_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Node/edge/triple table sink (S5 replacement — in production an
+    Iceberg ``writeTo(...).createOrReplace()``); partitioning column choice
+    is the physical design knob at 100 TB (e.g. edges by rel_type)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,83 @@
+"""Structured-Streaming ingestion for the KG pipeline.
+
+The reference is batch-only and the north_rule is checkpoint-resumable
+batch; this module covers the INCREMENTAL path: new transcript files (in
+production: Iceberg incremental reads / Kafka) land continuously, mentions
+are extracted per micro-batch with the SAME operators as batch (the
+detect/pair/resolve plan is stream-safe: stateless projections + broadcast
+lookups), and two sinks are offered:
+
+- ``stream_triples``: append-mode triple stream (stateless — safe for
+  unbounded input, dedup left to the downstream MERGE);
+- ``stream_turn_rates``: watermarked sliding-window turn counts per role —
+  the standard late-data-tolerant metrics stream.
+
+Both run with ``trigger(availableNow=True)`` in tests (process whatever is
+there, then stop) — the same code runs continuously with a processing-time
+trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mentions import detect_mentions
+from ..operators.triples import build_triples, cooccurrence_pairs, resolve_pairs
+from ..schemas import TRANSCRIPTS
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (schema enforced)."""
+    reader = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 10)
+    )
+    return reader.parquet(input_dir)
+
+
+def stream_triples(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Stateless streaming triple extraction — identical operator chain to
+    batch (mentions UDF -> pair arrays -> literal-map resolve). No
+    aggregation, so append mode needs no watermark. NOTE: build_triples'
+    distinct is NOT applied here (global dedup over an unbounded stream is
+    unbounded state); dedup happens at the sink MERGE."""
+    resolved = resolve_pairs(spark, cooccurrence_pairs(detect_mentions(stream)))
+    return resolved.select("subj", "subj_curie", "pred", "obj", "obj_curie")
+
+
+def stream_turn_rates(
+    stream: DataFrame, window: str = "10 minutes", slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window turn counts per role (late data within the
+    watermark is incorporated; older is dropped)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+) -> None:
+    """Drain everything currently available to parquet, then stop — the
+    test/backfill trigger; production uses .trigger(processingTime=...)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

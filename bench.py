@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...}
+
+Execution is measured with the noop sink (full plan runs, no driver
+collect). A warmup query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amr_kg_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # flagship KG construction path
+    "kg_triples",
+    "kg_mentions",
+    "kg_reconstruct",
+    # relational / optimizer exercise
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    # training-data pipeline
+    "dp_ngram_jaccard",
+    "dp_simhash",
+    "dp_cosine_topk",
+    "dp_minhash_pairs",
+    "dp_token_count",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from amr_kg_spark.queries import all_queries
+
+    queries, _ = all_queries()
+    spark = get_spark(app_name="amr-kg-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + Arrow + codegen paths
+    _run(queries["kg_triples"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _run(queries[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    # triples/sec at this SF (the north-star metric)
+    t0 = time.monotonic()
+    n_triples = queries["kg_triples"](spark, sf_dir).count()
+    triple_wall = time.monotonic() - t0
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": int(cores) if str(cores).isdigit() else cores,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / triple_wall, 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
