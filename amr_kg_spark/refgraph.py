@@ -1,0 +1,544 @@
+"""Reference-parity KG build: the AMR-KG construction semantics, Spark-first.
+
+Reproduces, as declarative DataFrame ops, exactly what the reference
+pipeline emits from its curated inputs (node registries, edge families, and
+the undirected triple export) so that triple agreement can be scored
+(north_rule: P/R >= 0.95). Every rule cites the reference line it mirrors.
+
+Inputs are reference-shaped DataFrames (FIXTURES.md):
+  person(contact,email,orcid,institute,project_1,project_2,pathogen_1..3,
+         skill_1..4)            [names already mapped, like map_data
+                                 src/amr.py:21-70]
+  institute(id,institute,link,projects)
+  project(id,project)
+  pathogen(pathogen,ncbitaxon)
+  skill(id,category,skill,definition)
+  mic(pref_name,chembl_id,standard_relation,standard_type,strain,assay_id,
+      mic_val)                  [mic_val pre-concatenated, src/amr.py:396]
+  spark_tsv(spark_id,smiles,pubmed_id,mic_val,specie,doi,pubchem_id,
+      chembl_id)
+  drugcentral(drug_name,struct_id,act_value,act_unit,act_type,source,
+      organism)
+  pubchem_alias(pubchem_id,synonym,iupac_name)   [pre-materialized stand-in
+      for the reference's per-row pubchempy REST calls,
+      src/sources.py:105,117,166 — SURVEY J7]
+  name_to_cid(drug_name,pubchem_id)              [get_compounds(name) stand-in]
+
+Known reference quirks intentionally normalized (SURVEY §7): the
+missing-colon curie ``'chembl'+id`` (src/sources.py:111) is emitted as
+``chembl:<id>``; tests note the divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .vocab import sql_values  # noqa: F401  (fixture helpers reuse)
+
+
+# ---------------------------------------------------------------------------
+# node tables — one (label, key, name, curie) frame per registry
+# ---------------------------------------------------------------------------
+
+def person_nodes(person: DataFrame) -> DataFrame:
+    """src/amr.py:105-118 — keyed by name; name property only if notna."""
+    return person.select(
+        F.lit("Person").alias("label"),
+        F.col("contact").alias("key"),
+        F.col("contact").alias("name"),
+        F.lit(None).cast("string").alias("curie"),
+    ).dropDuplicates(["key"])
+
+
+def institute_nodes(institute: DataFrame) -> DataFrame:
+    """src/amr.py:128-138 — skipped entirely when name is null."""
+    return (
+        institute.filter(F.col("institute").isNotNull())
+        .select(
+            F.lit("Institute").alias("label"),
+            F.col("institute").alias("key"),
+            F.col("institute").alias("name"),
+            F.lit(None).cast("string").alias("curie"),
+        )
+        .dropDuplicates(["key"])
+    )
+
+
+def project_nodes(project: DataFrame) -> DataFrame:
+    """src/amr.py:149-160 — curie = 'imi:' + lower(name)."""
+    return (
+        project.filter(F.col("project").isNotNull())
+        .select(
+            F.lit("Project").alias("label"),
+            F.col("project").alias("key"),
+            F.col("project").alias("name"),
+            F.concat(F.lit("imi:"), F.lower("project")).alias("curie"),
+        )
+        .dropDuplicates(["key"])
+    )
+
+
+def pathogen_nodes(pathogen: DataFrame) -> DataFrame:
+    """src/amr.py:179-189 — keyed by (unsplit) pathogen name."""
+    return (
+        pathogen.filter(F.col("pathogen").isNotNull())
+        .select(
+            F.lit("Pathogen").alias("label"),
+            F.col("pathogen").alias("key"),
+            F.col("pathogen").alias("name"),
+            F.concat(F.lit("ncbitaxon:"), F.col("ncbitaxon")).alias("curie"),
+        )
+        .dropDuplicates(["key"])
+    )
+
+
+def skill_nodes(skill: DataFrame) -> DataFrame:
+    """src/amr.py:200-220 — skills ∪ {category+'_group'} (A3)."""
+    base = skill.select(F.col("skill").alias("key")).union(
+        skill.select(F.concat(F.col("category"), F.lit("_group")).alias("key"))
+    ).distinct().filter(F.col("key").isNotNull())
+    return base.select(
+        F.lit("Skill").alias("label"),
+        "key",
+        F.col("key").alias("name"),
+        F.lit(None).cast("string").alias("curie"),
+    )
+
+
+def interested_pathogens(pathogen: DataFrame) -> DataFrame:
+    """Split-flatten of the pathogen column (src/amr.py:171-177)."""
+    return (
+        pathogen.filter(F.col("pathogen").isNotNull())
+        .select(F.explode(F.split("pathogen", ", ")).alias("p"))
+        .distinct()
+    )
+
+
+def chembl_nodes(mic: DataFrame, pathogen: DataFrame) -> DataFrame:
+    """src/sources.py:13-49 — semi-filter on interested pathogens, distinct
+    (pref_name, chembl_id), keyed by RAW pref_name, display name = title();
+    duplicate keys resolve last-wins (dict insert, A4)."""
+    ip = interested_pathogens(pathogen)
+    rows = (
+        mic.join(F.broadcast(ip), mic["strain"] == ip["p"], "left_semi")
+        .select("pref_name", "chembl_id")
+        .dropDuplicates()
+    )
+    # last-wins per key (dict overwrite, A4). The reference's "last" is
+    # input order; deterministic Spark needs an order-independent tie-break:
+    # max chembl_id wins (fixtures keep one id per name, so this only
+    # guards pathological inputs).
+    w = Window.partitionBy("pref_name").orderBy(
+        F.col("chembl_id").desc_nulls_last()
+    )
+    dedup = rows.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dedup.select(
+        F.lit("ChEMBL").alias("label"),
+        F.col("pref_name").alias("key"),
+        F.when(F.col("pref_name").isNotNull(), F.initcap(F.lower("pref_name"))).alias(
+            "name"
+        ),
+        F.when(
+            F.col("chembl_id").isNotNull(),
+            F.concat(F.lit("chembl:"), F.col("chembl_id")),
+        ).alias("curie"),
+    )
+
+
+def spark_source_nodes(
+    spark_tsv: DataFrame, pathogen: DataFrame, chembl: DataFrame,
+    pubchem_alias: DataFrame,
+) -> dict[str, DataFrame]:
+    """src/sources.py:52-127 — three-way branch per distinct SPARK row:
+    no ids -> SPARK node (first-wins); chembl id -> merge into existing
+    ChEMBL node (props only; name/curie unchanged) or new ChEMBL node named
+    synonym/chembl_id; else PubChem node keyed by pubchem id (first-wins),
+    named by IUPAC alias."""
+    ip = interested_pathogens(pathogen)
+    rows = (
+        spark_tsv.join(F.broadcast(ip), spark_tsv["specie"] == ip["p"], "left_semi")
+        .select("spark_id", "smiles", "pubchem_id", "chembl_id")
+        .dropDuplicates()
+        .withColumn("pubchem_id", F.split("pubchem_id", r"\.")[0])  # :87-88
+    )
+    alias = F.broadcast(pubchem_alias)
+
+    no_ids = rows.filter(
+        F.col("chembl_id").isNull() & F.col("pubchem_id").isNull()
+    )
+    spark_nodes = (
+        no_ids.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("spark_id").orderBy(F.col("smiles").asc_nulls_last())
+            ),
+        )
+        .filter(F.col("rn") == 1)  # first-wins :91-92
+        .select(
+            F.lit("SPARK").alias("label"),
+            F.col("spark_id").alias("key"),
+            F.lit(None).cast("string").alias("name"),  # no name prop :97
+            F.concat(F.lit("spark:"), F.col("spark_id")).alias("curie"),
+        )
+    )
+
+    with_chembl = rows.filter(F.col("chembl_id").isNotNull())
+    known = chembl.select(F.col("curie").alias("kc")).filter(
+        F.col("kc").isNotNull()
+    ).withColumn("kid", F.regexp_replace("kc", "^chembl:", ""))
+    # rows whose chembl_id is NOT already a ChEMBL node -> new node :110-114
+    new_chembl = (
+        with_chembl.join(
+            F.broadcast(known), with_chembl["chembl_id"] == known["kid"], "left_anti"
+        )
+        .join(alias, "pubchem_id", "left")
+        .select(
+            F.lit("ChEMBL").alias("label"),
+            F.coalesce(F.col("synonym"), F.col("chembl_id")).alias("key"),  # :105,85
+            F.coalesce(F.col("synonym"), F.col("chembl_id")).alias("name"),
+            F.concat(F.lit("chembl:"), F.col("chembl_id")).alias("curie"),  # :111 normalized
+        )
+        .dropDuplicates(["key"])
+    )
+
+    pubchem_only = rows.filter(
+        F.col("chembl_id").isNull() & F.col("pubchem_id").isNotNull()
+    )
+    pubchem_nodes = (
+        pubchem_only.join(alias, "pubchem_id", "left")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pubchem_id").orderBy(F.col("spark_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)  # first-wins :119-120
+        .select(
+            F.lit("PubChem").alias("label"),
+            F.col("pubchem_id").alias("key"),
+            F.col("iupac_name").alias("name"),  # :117
+            F.concat(F.lit("pubchem:"), F.col("pubchem_id")).alias("curie"),
+        )
+    )
+    return {"SPARK": spark_nodes, "ChEMBL_new": new_chembl, "PubChem": pubchem_nodes}
+
+
+def drugcentral_nodes(
+    drugcentral: DataFrame, strain_alias_keys: DataFrame, name_to_cid: DataFrame,
+    pubchem_alias: DataFrame,
+) -> dict[str, DataFrame]:
+    """src/sources.py:130-184 — organism ∈ PATHOGEN_MAPPER keys, distinct
+    (drug_name, struct_id); alias-table lookup replaces get_compounds():
+    hit -> PubChem node keyed by STRUCT_ID(!), miss -> DrugCentral node."""
+    rows = (
+        drugcentral.join(
+            F.broadcast(strain_alias_keys),
+            drugcentral["organism"] == strain_alias_keys["alias"],
+            "left_semi",
+        )
+        .select("drug_name", "struct_id")
+        .dropDuplicates()
+    )
+    looked = rows.join(F.broadcast(name_to_cid), "drug_name", "left")
+    hits = (
+        looked.filter(F.col("pubchem_id").isNotNull())
+        .join(F.broadcast(pubchem_alias), "pubchem_id", "left")
+        .select(
+            F.lit("PubChem").alias("label"),
+            F.col("struct_id").alias("key"),  # keyed by drug_central id :177
+            F.col("synonym").alias("name"),  # synonyms[0] :175
+            F.concat(F.lit("pubchem:"), F.col("pubchem_id")).alias("curie"),
+        )
+        .dropDuplicates(["key"])
+    )
+    misses = (
+        looked.filter(F.col("pubchem_id").isNull())
+        .select(
+            F.lit("DrugCentral").alias("label"),
+            F.col("struct_id").alias("key"),
+            F.col("drug_name").alias("name"),
+            F.concat(F.lit("drug.central:"), F.col("struct_id")).alias("curie"),
+        )
+        .dropDuplicates(["key"])
+    )
+    return {"PubChem_dc": hits, "DrugCentral": misses}
+
+
+# ---------------------------------------------------------------------------
+# edges — (src_label, src_key, rel, dst_label, dst_key) + props
+# ---------------------------------------------------------------------------
+
+def base_edges(person: DataFrame) -> DataFrame:
+    """src/relations.py:12-88 — per person row: WORKS_AT, IS_INVOLVED_IN
+    (project_2 suppressed when == project_1), institute SUPERVISES
+    project_1, HAS_SKILL over skill_1..3 with equality suppression
+    (skill_4 is destructured but never used by the reference), WORKS_WITH
+    over pathogen_1..3 with equality suppression."""
+    p = person
+
+    def e(src_label, src_col, rel, dst_label, dst_col, cond=None):
+        df = p if cond is None else p.filter(cond)
+        return df.select(
+            F.lit(src_label).alias("src_label"),
+            F.col(src_col).alias("src_key"),
+            F.lit(rel).alias("rel"),
+            F.lit(dst_label).alias("dst_label"),
+            F.col(dst_col).alias("dst_key"),
+        )
+
+    c = F.col
+    edges = [
+        e("Person", "contact", "WORKS_AT", "Institute", "institute"),
+        e("Person", "contact", "IS_INVOLVED_IN", "Project", "project_1",
+          c("project_1").isNotNull()),
+        e("Institute", "institute", "SUPERVISES", "Project", "project_1",
+          c("project_1").isNotNull()),
+        e("Person", "contact", "IS_INVOLVED_IN", "Project", "project_2",
+          c("project_2").isNotNull()
+          & ~(c("project_2").eqNullSafe(c("project_1")))),
+        e("Person", "contact", "HAS_SKILL", "Skill", "skill_1",
+          c("skill_1").isNotNull()),
+        e("Person", "contact", "HAS_SKILL", "Skill", "skill_2",
+          c("skill_2").isNotNull() & ~c("skill_2").eqNullSafe(c("skill_1"))),
+        e("Person", "contact", "HAS_SKILL", "Skill", "skill_3",
+          c("skill_3").isNotNull()
+          & ~c("skill_3").eqNullSafe(c("skill_1"))
+          & ~c("skill_3").eqNullSafe(c("skill_2"))),
+        e("Person", "contact", "WORKS_WITH", "Pathogen", "pathogen_1",
+          c("pathogen_1").isNotNull()),
+        e("Person", "contact", "WORKS_WITH", "Pathogen", "pathogen_2",
+          c("pathogen_2").isNotNull() & ~c("pathogen_2").eqNullSafe(c("pathogen_1"))),
+        e("Person", "contact", "WORKS_WITH", "Pathogen", "pathogen_3",
+          c("pathogen_3").isNotNull()
+          & ~c("pathogen_3").eqNullSafe(c("pathogen_1"))
+          & ~c("pathogen_3").eqNullSafe(c("pathogen_2"))),
+    ]
+    out = edges[0]
+    for x in edges[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def chembl_assay_edges(mic: DataFrame, pathogen_keys: DataFrame) -> DataFrame:
+    """src/relations.py:91-125 — Pathogen -ASSAY IN-> ChEMBL[pref_name];
+    skipped when strain isn't a Pathogen node key or when both mic_val and
+    standard_relation are null."""
+    gated = mic.join(
+        F.broadcast(pathogen_keys), mic["strain"] == pathogen_keys["pkey"], "left_semi"
+    ).filter(~(F.col("mic_val").isNull() & F.col("standard_relation").isNull()))
+    return gated.select(
+        F.lit("Pathogen").alias("src_label"),
+        F.col("strain").alias("src_key"),
+        F.lit("ASSAY IN").alias("rel"),
+        F.lit("ChEMBL").alias("dst_label"),
+        F.col("pref_name").alias("dst_key"),
+    )
+
+
+def spark_assay_edges(
+    spark_tsv: DataFrame, pathogen_keys: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """src/relations.py:128-174 — Pathogen -ASSAY IN-> resolved chem node;
+    resolution = SPARK[spark_id] -> ChEMBL[chembl_id] (only nodes whose KEY
+    is the raw chembl id, i.e. the synonym-less new nodes) ->
+    PubChem[pubchem_id]; unresolved rows dropped (nested KeyError ->
+    continue)."""
+    rows = spark_tsv.join(
+        F.broadcast(pathogen_keys),
+        spark_tsv["specie"] == pathogen_keys["pkey"],
+        "left_semi",
+    ).withColumn("pubchem_norm", F.split("pubchem_id", r"\.")[0])
+
+    def keyset(label: str, out: str) -> DataFrame:
+        return nodes.filter(F.col("label") == label).select(
+            F.col("key").alias(out)
+        ).distinct()
+
+    sk = keyset("SPARK", "k_spark")
+    ck = keyset("ChEMBL", "k_chembl")
+    pk = keyset("PubChem", "k_pubchem")
+    r = (
+        rows.join(F.broadcast(sk), rows["spark_id"] == sk["k_spark"], "left")
+        .join(F.broadcast(ck), rows["chembl_id"] == ck["k_chembl"], "left")
+        .join(F.broadcast(pk), F.col("pubchem_norm") == pk["k_pubchem"], "left")
+    )
+    # the reference tries ChEMBL only when chembl_id is notna, else PubChem
+    resolved = r.withColumn(
+        "dst_label",
+        F.when(F.col("k_spark").isNotNull(), F.lit("SPARK"))
+        .when(F.col("chembl_id").isNotNull() & F.col("k_chembl").isNotNull(), F.lit("ChEMBL"))
+        .when(F.col("chembl_id").isNull() & F.col("k_pubchem").isNotNull(), F.lit("PubChem")),
+    ).withColumn(
+        "dst_key",
+        F.when(F.col("k_spark").isNotNull(), F.col("spark_id"))
+        .when(F.col("chembl_id").isNotNull(), F.col("k_chembl"))
+        .otherwise(F.col("k_pubchem")),
+    ).filter(F.col("dst_label").isNotNull())
+    return resolved.select(
+        F.lit("Pathogen").alias("src_label"),
+        F.col("specie").alias("src_key"),
+        F.lit("ASSAY IN").alias("rel"),
+        "dst_label",
+        "dst_key",
+    )
+
+
+def drugcentral_assay_edges(
+    drugcentral: DataFrame, strain_alias: DataFrame, pathogen_keys: DataFrame,
+    nodes: DataFrame,
+) -> DataFrame:
+    """src/relations.py:177-220 — organism normalized via PATHOGEN_MAPPER
+    (J2), gate on Pathogen keys, chem = PubChem[struct_id] ->
+    DrugCentral[struct_id] -> skip."""
+    mapped = drugcentral.join(
+        F.broadcast(strain_alias),
+        drugcentral["organism"] == strain_alias["alias"],
+        "left",
+    ).withColumn("pathogen", F.col("canonical"))
+    gated = mapped.join(
+        F.broadcast(pathogen_keys),
+        mapped["pathogen"] == pathogen_keys["pkey"],
+        "left_semi",
+    )
+
+    pk = nodes.filter(F.col("label") == "PubChem").select(
+        F.col("key").alias("k_pub")
+    ).distinct()
+    dk = nodes.filter(F.col("label") == "DrugCentral").select(
+        F.col("key").alias("k_dc")
+    ).distinct()
+    r = (
+        gated.join(F.broadcast(pk), gated["struct_id"] == pk["k_pub"], "left")
+        .join(F.broadcast(dk), gated["struct_id"] == dk["k_dc"], "left")
+        .withColumn(
+            "dst_label",
+            F.when(F.col("k_pub").isNotNull(), F.lit("PubChem"))
+            .when(F.col("k_dc").isNotNull(), F.lit("DrugCentral")),
+        )
+        .filter(F.col("dst_label").isNotNull())
+    )
+    return r.select(
+        F.lit("Pathogen").alias("src_label"),
+        F.col("pathogen").alias("src_key"),
+        F.lit("ASSAY IN").alias("rel"),
+        "dst_label",
+        F.col("struct_id").alias("dst_key"),
+    )
+
+
+def skill_includes_edges(skill: DataFrame) -> DataFrame:
+    """src/amr.py:278-297 — category_group INCLUDES skill, every row."""
+    return skill.select(
+        F.lit("Skill").alias("src_label"),
+        F.concat(F.col("category"), F.lit("_group")).alias("src_key"),
+        F.lit("INCLUDES").alias("rel"),
+        F.lit("Skill").alias("dst_label"),
+        F.col("skill").alias("dst_key"),
+    )
+
+
+def institute_supervises_edges(
+    institute: DataFrame, project: DataFrame
+) -> DataFrame:
+    """src/amr.py:300-334 — institute SUPERVISES project for each id in the
+    comma-joined projects column (split+explode, F6)."""
+    exploded = institute.select(
+        "institute", F.explode(F.split("projects", ",")).alias("pid")
+    ).filter(F.col("pid") != "")
+    pj = project.select(
+        F.col("id").cast("int").alias("pid_i"), F.col("project").alias("pname")
+    )
+    return (
+        exploded.join(
+            F.broadcast(pj), exploded["pid"].cast("int") == pj["pid_i"], "inner"
+        )
+        .select(
+            F.lit("Institute").alias("src_label"),
+            F.col("institute").alias("src_key"),
+            F.lit("SUPERVISES").alias("rel"),
+            F.lit("Project").alias("dst_label"),
+            F.col("pname").alias("dst_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# assembly + undirected triple export (src/amr.py:337-349)
+# ---------------------------------------------------------------------------
+
+def build_reference_graph(
+    person: DataFrame,
+    institute: DataFrame,
+    project: DataFrame,
+    pathogen: DataFrame,
+    skill: DataFrame,
+    mic: DataFrame,
+    spark_tsv: DataFrame,
+    drugcentral: DataFrame,
+    pubchem_alias: DataFrame,
+    name_to_cid: DataFrame,
+    strain_alias: DataFrame,
+) -> dict[str, DataFrame]:
+    """Full reference-semantics KG: returns nodes, edges, triples (directed,
+    distinct) and the undirected export."""
+    chembl = chembl_nodes(mic, pathogen)
+    spark_branch = spark_source_nodes(spark_tsv, pathogen, chembl, pubchem_alias)
+    dc_branch = drugcentral_nodes(
+        drugcentral, strain_alias.select(F.col("alias")), name_to_cid, pubchem_alias
+    )
+    nodes = (
+        person_nodes(person)
+        .unionByName(institute_nodes(institute))
+        .unionByName(project_nodes(project))
+        .unionByName(pathogen_nodes(pathogen))
+        .unionByName(skill_nodes(skill))
+        .unionByName(chembl)
+        .unionByName(spark_branch["SPARK"])
+        .unionByName(spark_branch["ChEMBL_new"])
+        .unionByName(spark_branch["PubChem"])
+        .unionByName(dc_branch["PubChem_dc"])
+        .unionByName(dc_branch["DrugCentral"])
+        .dropDuplicates(["label", "key"])
+    )
+
+    pathogen_keys = pathogen_nodes(pathogen).select(F.col("key").alias("pkey"))
+    edges = (
+        base_edges(person)
+        .unionByName(chembl_assay_edges(mic, pathogen_keys))
+        .unionByName(spark_assay_edges(spark_tsv, pathogen_keys, nodes))
+        .unionByName(
+            drugcentral_assay_edges(drugcentral, strain_alias, pathogen_keys, nodes)
+        )
+        .unionByName(skill_includes_edges(skill))
+        .unionByName(institute_supervises_edges(institute, project))
+    )
+
+    src_n = nodes.select(
+        F.col("label").alias("src_label"),
+        F.col("key").alias("src_key"),
+        F.col("name").alias("subj"),
+        F.col("curie").alias("subj_curie"),
+    )
+    dst_n = nodes.select(
+        F.col("label").alias("dst_label"),
+        F.col("key").alias("dst_key"),
+        F.col("name").alias("obj"),
+        F.col("curie").alias("obj_curie"),
+    )
+    triples = (
+        edges.join(src_n, ["src_label", "src_key"])
+        .join(dst_n, ["dst_label", "dst_key"])
+        .select("subj", "subj_curie", F.col("rel").alias("pred"), "obj", "obj_curie")
+        .dropDuplicates()
+    )
+    undirected = triples.unionByName(
+        triples.select(
+            F.col("obj").alias("subj"),
+            F.col("obj_curie").alias("subj_curie"),
+            "pred",
+            F.col("subj").alias("obj"),
+            F.col("subj_curie").alias("obj_curie"),
+        )
+    ).dropDuplicates()
+    return {"nodes": nodes, "edges": edges, "triples": triples, "undirected": undirected}
