@@ -134,6 +134,7 @@ def canonicalize_nodes(
             F.count("*").cast("long").alias("merged_from"),
         )
         .select(
+            "component",
             F.col("best")[id_col].alias("canonical_id"),
             F.col("best.label").alias("label"),
             F.col("best.name").alias("name"),
@@ -164,3 +165,95 @@ def rewrite_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
             "props",
         )
     )
+
+
+# default source-priority per label: the reference's id-priority chain
+# (chembl > pubchem > spark > drug.central, src/relations.py:146-155,198-204)
+DEFAULT_LABEL_PRIORITY = {
+    "ChEMBL": 0,
+    "PubChem": 1,
+    "SPARK": 2,
+    "DrugCentral": 3,
+    "Compound": 0,
+}
+
+# labels allowed to merge with each other (entity-type groups)
+DEFAULT_LABEL_GROUPS = {
+    "ChEMBL": "compound",
+    "PubChem": "compound",
+    "SPARK": "compound",
+    "DrugCentral": "compound",
+    "Compound": "compound",
+    "Pathogen": "pathogen",
+    "Institution": "institution",
+    "Institute": "institution",
+}
+
+
+def canonicalize_kg(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_dist: float = 0.35,
+    label_priority: dict[str, int] | None = None,
+    label_groups: dict[str, str] | None = None,
+) -> dict[str, DataFrame]:
+    """Full KG canonicalization (north_star): similarity self-join on node
+    names (char-3-gram MinHash-LSH blocking — candidate pairs ~linear, the
+    'salted self-join' scale path), restricted to nodes of the same entity
+    group; connected components; canonical node election by source
+    priority; edges repointed at canonical ids.
+
+    nodes: (node_id, label, name, curie, props); edges: (src_id, dst_id,
+    rel_type, props). Returns {nodes, edges, mapping}.
+    """
+    from .dedup import char_ngram_lsh_pairs
+
+    prio = label_priority or DEFAULT_LABEL_PRIORITY
+    groups = label_groups or DEFAULT_LABEL_GROUPS
+
+    grp_map = F.create_map(
+        *[x for k, v in groups.items() for x in (F.lit(k), F.lit(v))]
+    )
+    prio_map = F.create_map(
+        *[x for k, v in prio.items() for x in (F.lit(k), F.lit(v))]
+    )
+    # only labels with an explicit entity group are mergeable — literal-
+    # valued labels (Activity "3.5 nM" vs "6.5 nM") must never fuzzy-merge
+    named = (
+        nodes.filter(F.col("name").isNotNull())
+        .withColumn("grp", grp_map[F.col("label")])
+        .filter(F.col("grp").isNotNull())
+    )
+    # candidate pairs via LSH, then the group gate (same entity type only)
+    cand = char_ngram_lsh_pairs(
+        named.select(F.col("node_id"), F.col("name")), "node_id", "name",
+        max_dist=max_dist,
+    )
+    sides = named.select(F.col("node_id").alias("nid"), F.col("grp").alias("g"))
+    pairs = (
+        cand.join(sides.withColumnRenamed("nid", "id_a").withColumnRenamed("g", "g_a"), "id_a")
+        .join(sides.withColumnRenamed("nid", "id_b").withColumnRenamed("g", "g_b"), "id_b")
+        .filter(F.col("g_a") == F.col("g_b"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+    with_prio = nodes.withColumn(
+        "priority", F.coalesce(prio_map[F.col("label")], F.lit(9)).cast("int")
+    ).withColumn(
+        "props",
+        F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
+    )
+    canonical = canonicalize_nodes(with_prio, pairs, id_col="node_id")
+
+    # node -> canonical_id mapping (MUST use the elected canonical id, not
+    # the component min — edges and nodes have to agree on identity)
+    cc = connected_components(pairs, "src", "dst")
+    mapping = cc.join(
+        canonical.select("component", "canonical_id"), "component"
+    ).select("node", F.col("canonical_id").alias("component"))
+    new_edges = rewrite_edges(edges, mapping)
+    return {
+        "nodes": canonical.drop("component"),
+        "edges": new_edges,
+        "mapping": mapping.withColumnRenamed("component", "canonical_id"),
+    }

@@ -65,8 +65,14 @@ def ngram_jaccard_pairs(
     skew risk: drop shingles whose document frequency exceeds a cap (they
     contribute little discrimination and quadratic pairs).
     """
+    # shingles are hashed to 64-bit BEFORE the self-join: the shuffle moves
+    # (long, long) pairs instead of multi-word strings (~5-10x less payload);
+    # a 2^-64 collision merges two shingles — immaterial for Jaccard.
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # anti-skew: cap posting-list length (rare at these SFs, vital at 100 TB)
@@ -124,6 +130,41 @@ def minhash_lsh_pairs(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def char_ngram_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_dist: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH similar pairs on CHARACTER n-grams — the right granularity
+    for short strings (entity names), where word shingles degenerate.
+    Used by KG canonicalization for the similarity self-join."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from .linking import char_ngrams_expr
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.expr(char_ngrams_expr(text_col, n)).alias("grams")
+    ).filter(F.size("grams") > 0)
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(base)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_dist, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(F.lit(1.0) - F.col("dist"), 6).alias("est_jaccard"),
         )
     )
 

@@ -59,6 +59,23 @@ def conversation_text(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
     )
 
 
+def sessionize(
+    transcripts: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the time gap
+    to the previous turn (in turn order) exceeds ``gap_minutes``. Pure
+    window functions (lag + conditional cumulative sum) — one shuffle on
+    conv_id, no state store needed in batch."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # TIMESTAMP_NTZ needs an intermediate cast (session TZ is UTC)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return transcripts.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(w).cast("int")
+    ).drop("_new")
+
+
 def conversation_text_salted(
     transcripts: DataFrame, bucket_size: int = 1024, sep: str = "\n"
 ) -> DataFrame:

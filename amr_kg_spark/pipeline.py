@@ -35,8 +35,14 @@ def run_pipeline(
     transcripts: DataFrame,
     workdir: str,
     run_id: str | None = None,
+    canonicalize: bool = False,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full KG build; returns the materialized tables."""
+    """Run (or resume) the full KG build; returns the materialized tables.
+
+    With ``canonicalize=True`` a similarity-graph CC pass merges near-
+    duplicate nodes and repoints edges before the final tables (north_star
+    canonicalization stage; a no-op when the vocabulary is already clean).
+    """
     runner = StageRunner(spark, workdir, run_id)
 
     with_mentions = runner.run(
@@ -53,6 +59,21 @@ def run_pipeline(
     nodes = runner.run("nodes", lambda: build_nodes(resolved))
     edges = runner.run("edges", lambda: build_edges(resolved))
     triples = runner.run("triples", lambda: build_triples(resolved))
+
+    if canonicalize:
+        from .operators.canonicalize import canonicalize_kg
+
+        if not (
+            runner.is_committed("nodes_canonical")
+            and runner.is_committed("edges_canonical")
+        ):
+            # CC runs an eager driver loop — invoke once for both stages
+            canon = canonicalize_kg(nodes, edges)
+            nodes = runner.run("nodes_canonical", lambda: canon["nodes"])
+            edges = runner.run("edges_canonical", lambda: canon["edges"])
+        else:
+            nodes = runner.run("nodes_canonical", lambda: nodes)
+            edges = runner.run("edges_canonical", lambda: edges)
 
     return {
         "mentions": mentions_flat,

@@ -9,7 +9,7 @@ agreement means the extraction actually recovered what was planted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import vocab
@@ -181,6 +181,25 @@ def q_link_pathogens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (real gap variance;
+    the transcript derivation has uniform gaps). Same operator the KG path
+    uses for conversation splitting."""
+    from ..operators.reconstruct import sessionize
+
+    e = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("turn_idx"),
+            "ts",
+        )
+    )
+    return sessionize(e, gap_minutes=60).select("conv_id", "turn_idx", "session_id")
+
+
 def q_triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(spark, derive_transcripts(spark, sf))
 
@@ -225,6 +244,7 @@ QUERIES = {
     "kg_reconstruct": q_reconstruct,
     "kg_ordered_turns": q_ordered_turns,
     "kg_mentions": q_mentions,
+    "kg_sessionize": q_sessionize,
     "kg_link_compounds": q_link_compounds,
     "kg_link_pathogens": q_link_pathogens,
     "kg_triples": q_triples,
@@ -284,6 +304,22 @@ FROM nation JOIN rmin USING (n_regionkey)
         "FROM transcripts"
     ),
     "kg_mentions": _mentions_oracle(),
+    "kg_sessionize": """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_idx,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS session_id
+FROM (
+  SELECT conv_id, turn_idx,
+         CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM t
+)""",
     "kg_link_compounds": (
         f"WITH {_compound_vocab_cte()} "
         f"SELECT pref_name AS mention, {_COMPOUND_CURIE} AS curie FROM cv"

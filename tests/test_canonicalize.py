@@ -61,3 +61,34 @@ def test_rewrite_edges_repoints_endpoints(spark):
     mapping = spark.createDataFrame([(2, 1)], "node long, component long")
     out = rewrite_edges(edges, mapping).collect()
     assert out[0].src_id == 1 and out[0].dst_id == 9
+
+
+def test_canonicalize_kg_merges_name_variants(spark):
+    """Multi-source spelling variants of one compound collapse to the
+    highest-priority source node; edges repoint to it; unrelated and
+    cross-group nodes stay separate."""
+    from amr_kg_spark.operators.canonicalize import canonicalize_kg
+
+    nodes = spark.createDataFrame(
+        [
+            (10, "ChEMBL", "Ciprofloxacin", "chembl:8", {"s": "chembl"}),
+            (20, "PubChem", "ciprofloxacin", "pubchem:2764", {"s": "pubchem"}),
+            (30, "SPARK", "CIPROFLOXACIN ", "spark:101", {"s": "spark"}),
+            (40, "ChEMBL", "Meropenem", "chembl:127", {"s": "chembl"}),
+            # same-ish name, different entity group: must NOT merge
+            (50, "Pathogen", "Ciprofloxacin", "ncbitaxon:999", {"s": "x"}),
+        ],
+        "node_id long, label string, name string, curie string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(20, 40, "ASSAY_IN", {"e": "1"}), (30, 50, "TESTED", {"e": "2"})],
+        "src_id long, dst_id long, rel_type string, props map<string,string>",
+    )
+    out = canonicalize_kg(nodes, edges, max_dist=0.4)
+    canon = {r.canonical_id: r for r in out["nodes"].collect()}
+    # 10/20/30 merged under the ChEMBL node (priority 0); 40, 50 singletons
+    assert set(canon) == {10, 40, 50}
+    assert canon[10].merged_from == 3
+    assert canon[10].props["s"] == "chembl"  # highest priority wins collision
+    got_edges = {(r.src_id, r.dst_id, r.rel_type) for r in out["edges"].collect()}
+    assert got_edges == {(10, 40, "ASSAY_IN"), (10, 50, "TESTED")}

@@ -67,3 +67,16 @@ def test_lineage_partition_counts_sum_to_rows(spark):
         assert got["nodes"] == d["nodes"].count()
         m = {r.stage: r.rows_per_sec for r in d["metrics"].collect()}
         assert all(v is not None for v in m.values())
+
+
+def test_pipeline_with_canonicalization_stage(spark):
+    t = synth_transcripts(spark, n_turns=600, n_convs=15)
+    with tempfile.TemporaryDirectory() as w:
+        d = run_pipeline(spark, t, w, run_id="canon", canonicalize=True)
+        # clean vocabulary -> canonicalization is an identity pass
+        assert d["nodes"].count() > 0
+        assert {"canonical_id", "label", "name", "curie", "props", "merged_from"} <= set(
+            d["nodes"].columns
+        )
+        assert d["nodes"].filter("merged_from > 1").count() == 0
+        assert d["edges"].count() > 0
