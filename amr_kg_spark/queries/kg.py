@@ -238,8 +238,63 @@ def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_fuzzy_link(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH fuzzy linking of dirty mention variants (rows-only:
+    LSH is approximate; exact-recall asserted in tests/test_linking.py).
+    Dirty variants are derived deterministically from the vocabulary."""
+    from ..operators.linking import fuzzy_link
+
+    v = vocab_tables(spark)["compound"]
+    dirty = v.select(
+        F.explode(
+            F.array(
+                F.lower("pref_name"),
+                F.upper("pref_name"),
+                F.concat(F.col("pref_name"), F.lit(" ")),
+            )
+        ).alias("mention")
+    )
+    return fuzzy_link(dirty, v, threshold=0.4).select("mention", "matched_name")
+
+
+def q_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """KG canonicalization over deterministic multi-source name variants
+    (rows-only: iterative CC + LSH)."""
+    from ..operators.canonicalize import canonicalize_kg
+
+    v = vocab_tables(spark)["compound"]
+    variants = (
+        v.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("ChEMBL").alias("label"), F.col("pref_name").alias("name")),
+                    F.struct(F.lit("PubChem").alias("label"), F.lower("pref_name").alias("name")),
+                    F.struct(F.lit("SPARK").alias("label"), F.upper("pref_name").alias("name")),
+                )
+            ).alias("s")
+        )
+        .select(
+            F.xxhash64("s.label", "s.name").alias("node_id"),
+            F.col("s.label").alias("label"),
+            F.col("s.name").alias("name"),
+            F.lit(None).cast("string").alias("curie"),
+            F.create_map(F.lit("src"), F.col("s.label")).alias("props"),
+        )
+    )
+    edges = variants.limit(0).select(
+        F.col("node_id").alias("src_id"),
+        F.col("node_id").alias("dst_id"),
+        F.lit("X").alias("rel_type"),
+        "props",
+    )
+    out = canonicalize_kg(variants, edges, max_dist=0.4)
+    return out["nodes"].select("label", "name", "merged_from").orderBy("name")
+
+
 QUERIES = {
     "kg_cc_components": q_connected_components,
+    "kg_fuzzy_link": q_fuzzy_link,
+    "kg_canonicalize": q_canonicalize,
     "kg_transcripts": q_transcripts,
     "kg_reconstruct": q_reconstruct,
     "kg_ordered_turns": q_ordered_turns,

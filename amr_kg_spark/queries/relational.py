@@ -283,7 +283,44 @@ def q_json_extract(spark, sf):
     )
 
 
+# --- rollup / grouping sets (beyond the reference; analytics surface) --------
+def q_rollup(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+def q_cube(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.cube("event_type").agg(F.count("*").alias("n"))
+
+
 # --- TPC-H headliners (bench + optimizer exercise) ---------------------------
+def q_tpch_q6(spark, sf):
+    """Forecasting revenue change: pure filter + agg — the pushdown check."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+
 def q_tpch_q1(spark, sf):
     """Pricing summary: the classic partial-agg / whole-stage-codegen check."""
     li = _t(spark, sf, "lineitem")
@@ -376,7 +413,10 @@ QUERIES = {
     "rel_string_funcs": q_string_funcs,
     "rel_split_explode": q_split_explode,
     "rel_json_extract": q_json_extract,
+    "rel_rollup": q_rollup,
+    "rel_cube": q_cube,
     "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
 }
@@ -482,6 +522,20 @@ ORACLES = {
     "rel_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
         "FROM events"
+    ),
+    "rel_rollup": (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "round(sum(o_totalprice), 4) AS total FROM orders "
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+    "rel_cube": (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY CUBE (event_type)"
+    ),
+    "tpch_q6": (
+        "SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01' "
+        "AND l_shipdate < TIMESTAMP '1995-01-01' "
+        "AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"
     ),
     "tpch_q1": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "

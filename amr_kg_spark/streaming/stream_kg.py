@@ -81,3 +81,67 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_conversation_state(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    conversation, maintain running state across micro-batches — turns seen,
+    max turn_idx, and a monotonicity flag (per-turn ordering invariant
+    enforced INCREMENTALLY as batches arrive out of order).
+
+    Output: one row per (conv_id, micro-batch) with the updated totals.
+    State: (n_turns, max_turn_idx, ordered) — bounded per conversation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, n_turns long, max_turn_idx int, ordered boolean"
+    )
+    state_schema = "n_turns long, max_turn_idx int, ordered boolean"
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        n, mx, ordered = (
+            state.get if state.exists else (0, -1, True)
+        )
+        for pdf in pdfs:
+            idxs = pdf["turn_idx"].sort_values().tolist()
+            for i in idxs:
+                # contiguity check against everything seen so far
+                if i <= mx:
+                    ordered = False  # duplicate / out-of-order turn id
+                mx = max(mx, int(i))
+                n += 1
+        state.update((n, mx, ordered))
+        yield pd.DataFrame(
+            [(conv_id, n, mx, ordered)],
+            columns=["conv_id", "n_turns", "max_turn_idx", "ordered"],
+        )
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now_foreach_batch(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain with update-mode semantics into parquet via foreachBatch
+    (the file sink itself only supports append)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -80,3 +80,30 @@ def test_watermarked_window_counts(spark):
         # are emitted in append mode; total counted turns <= input turns
         total = sum(r.n_turns for r in out.collect())
         assert 0 <= total <= 400
+
+
+def test_stateful_conversation_state(spark):
+    """applyInPandasWithState: state accumulates across micro-batches."""
+    from amr_kg_spark.streaming.stream_kg import stream_conversation_state
+
+    with tempfile.TemporaryDirectory() as root:
+        ind, outd, ckpt = (os.path.join(root, x) for x in ("in", "out", "ckpt"))
+        t = synth_transcripts(spark, n_turns=300, n_convs=10)
+        # two drops processed as separate micro-batches (maxFilesPerTrigger=1)
+        t.filter("turn_idx % 2 = 0").coalesce(1).write.mode("append").parquet(ind)
+        t.filter("turn_idx % 2 = 1").coalesce(1).write.mode("append").parquet(ind)
+        from amr_kg_spark.streaming.stream_kg import run_available_now_foreach_batch
+
+        stream = read_transcript_stream(spark, ind, max_files_per_trigger=1)
+        run_available_now_foreach_batch(stream_conversation_state(stream), outd, ckpt)
+
+        out = spark.read.parquet(outd)
+        # final state per conversation = total turns in the input
+        import pyspark.sql.functions as F
+        final = (
+            out.groupBy("conv_id").agg(F.max("n_turns").alias("n")).collect()
+        )
+        expected = {r.conv_id: r.n for r in
+                    t.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()}
+        got = {r.conv_id: r.n for r in final}
+        assert got == expected
