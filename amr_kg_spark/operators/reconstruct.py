@@ -112,3 +112,41 @@ def conversation_text_salted(
             F.sum("seg_turns").cast("long").alias("n_turns"),
         )
     )
+
+
+def conversation_features(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation feature vector via Arrow ``applyInPandas`` (the
+    grouped-map UDF surface): turn counts per role, mean text length,
+    and turn-index span. Each group arrives as one pandas DataFrame —
+    the pattern for per-conversation Python feature extractors that
+    genuinely need the whole conversation in memory (bounded groups).
+    """
+    import pandas as pd
+
+    schema = (
+        "conv_id string, n_turns long, n_user long, n_assistant long, "
+        "n_tool long, mean_text_len double, turn_span int"
+    )
+
+    def feats(pdf: pd.DataFrame) -> pd.DataFrame:
+        roles = pdf["role"].value_counts()
+        text_len = pdf["text"].fillna("").str.len()
+        return pd.DataFrame(
+            [
+                (
+                    pdf["conv_id"].iloc[0],
+                    len(pdf),
+                    int(roles.get("user", 0)),
+                    int(roles.get("assistant", 0)),
+                    int(roles.get("tool", 0)),
+                    round(float(text_len.mean()), 6) if len(pdf) else 0.0,
+                    int(pdf["turn_idx"].max() - pdf["turn_idx"].min()),
+                )
+            ],
+            columns=[
+                "conv_id", "n_turns", "n_user", "n_assistant", "n_tool",
+                "mean_text_len", "turn_span",
+            ],
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandas(feats, schema)

@@ -92,10 +92,13 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over n-word shingles (one stable
     representative hash per document; equal fingerprints => near-identical
-    prefix content)."""
-    toks = tokens_col(text_col)
+    prefix content). Tokens are materialized first so the split isn't
+    re-evaluated per shingle (see dedup.with_word_shingles)."""
+    step = docs.withColumn("__toks", tokens_col(text_col))
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        F.sequence(
+            F.lit(1), F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(1))
+        ),
+        lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, n), " ")),
     )
-    return docs.select("doc_id", F.array_min(shingles).alias("fingerprint"))
+    return step.select("doc_id", F.array_min(shingles).alias("fingerprint"))

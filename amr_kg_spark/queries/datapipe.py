@@ -52,6 +52,10 @@ def q_minhash_pairs(spark, sf):
     return D.minhash_lsh_pairs(_docs(spark, sf), n=JACCARD_N, max_dist=0.8)
 
 
+def q_minhash_native(spark, sf):
+    return D.minhash_pairs_native(_docs(spark, sf), n=JACCARD_N, threshold=0.5)
+
+
 def q_simhash(spark, sf):
     return D.simhash32(_docs(spark, sf))
 
@@ -108,6 +112,7 @@ QUERIES = {
     "dp_dedup_exact": q_dedup_exact,
     "dp_ngram_jaccard": q_ngram_jaccard,
     "dp_minhash_pairs": q_minhash_pairs,
+    "dp_minhash_native": q_minhash_native,
     "dp_simhash": q_simhash,
     "dp_emb_neardup": q_emb_neardup,
     "dp_cosine_topk": q_cosine_topk,

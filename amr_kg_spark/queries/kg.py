@@ -200,6 +200,12 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize(e, gap_minutes=60).select("conv_id", "turn_idx", "session_id")
 
 
+def q_conversation_features(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.reconstruct import conversation_features
+
+    return conversation_features(derive_transcripts(spark, sf))
+
+
 def q_triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(spark, derive_transcripts(spark, sf))
 
@@ -300,6 +306,7 @@ QUERIES = {
     "kg_ordered_turns": q_ordered_turns,
     "kg_mentions": q_mentions,
     "kg_sessionize": q_sessionize,
+    "kg_conversation_features": q_conversation_features,
     "kg_link_compounds": q_link_compounds,
     "kg_link_pathogens": q_link_pathogens,
     "kg_triples": q_triples,
@@ -359,6 +366,17 @@ FROM nation JOIN rmin USING (n_regionkey)
         "FROM transcripts"
     ),
     "kg_mentions": _mentions_oracle(),
+    "kg_conversation_features": _with_transcripts(
+        """
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE role = 'user') AS n_user,
+       count(*) FILTER (WHERE role = 'assistant') AS n_assistant,
+       count(*) FILTER (WHERE role = 'tool') AS n_tool,
+       round(avg(length(coalesce(text, ''))), 6) AS mean_text_len,
+       CAST(max(turn_idx) - min(turn_idx) AS INT) AS turn_span
+FROM transcripts GROUP BY conv_id"""
+    ),
     "kg_sessionize": """
 WITH t AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,

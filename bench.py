@@ -34,7 +34,7 @@ HEADLINE = [
     "dp_ngram_jaccard",
     "dp_simhash",
     "dp_cosine_topk",
-    "dp_minhash_pairs",
+    "dp_minhash_native",
     "dp_token_count",
 ]
 

@@ -71,3 +71,23 @@ def test_frame_offsets_monotone(spark):
         assert len(offs) == 4
         assert offs == sorted(offs)
         assert all(0 <= o for o in offs)
+
+
+def test_minhash_native_matches_exact_with_high_recall(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    native = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_pairs_native(docs, n=3, threshold=0.5).collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs at this SF")
+    # exact rerank => every emitted pair has the true jaccard, no false pos
+    assert set(native) <= set(exact)
+    for k, v in native.items():
+        assert v == exact[k]
+    recall = len(native) / len(exact)
+    assert recall >= 0.8, f"native banding recall {recall}"
