@@ -283,6 +283,44 @@ def q_json_extract(spark, sf):
     )
 
 
+# --- as-of join (custom operator: union + window, no range explosion) --------
+def q_asof_join(spark, sf):
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders")
+    return asof_join(
+        e, o, key="user_id", right_key="o_custkey", left_ts="ts",
+        right_ts="o_orderdate", payload_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+    ).select("event_id", "asof_o_orderkey")
+
+
+# --- correlated subqueries (Catalyst decorrelation exercise) ------------------
+def q_scalar_subquery(spark, sf):
+    for t in ("orders", "customer"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT round(max(o_totalprice), 4) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """
+    )
+
+
+# --- distinct counting (exact; HLL sketch is rows-only by nature) -------------
+def q_distinct_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
 # --- rollup / grouping sets (beyond the reference; analytics surface) --------
 def q_rollup(spark, sf):
     o = _t(spark, sf, "orders")
@@ -413,6 +451,9 @@ QUERIES = {
     "rel_string_funcs": q_string_funcs,
     "rel_split_explode": q_split_explode,
     "rel_json_extract": q_json_extract,
+    "rel_asof_join": q_asof_join,
+    "rel_scalar_subquery": q_scalar_subquery,
+    "rel_distinct_counts": q_distinct_counts,
     "rel_rollup": q_rollup,
     "rel_cube": q_cube,
     "tpch_q1": q_tpch_q1,
@@ -522,6 +563,33 @@ ORACLES = {
     "rel_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
         "FROM events"
+    ),
+    "rel_asof_join": """
+SELECT event_id, asof_o_orderkey FROM (
+  SELECT event_id, is_left,
+         last_value(pk IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY ts, is_left, tb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_o_orderkey
+  FROM (
+    SELECT user_id AS k, ts, 1 AS is_left, CAST(NULL AS BIGINT) AS tb,
+           event_id, CAST(NULL AS BIGINT) AS pk
+    FROM events
+    UNION ALL
+    SELECT o_custkey, o_orderdate, 0, o_orderkey, NULL, o_orderkey
+    FROM orders
+  )
+) WHERE is_left = 1
+""",
+    "rel_scalar_subquery": (
+        "SELECT c_custkey, c_name, "
+        "(SELECT round(max(o_totalprice), 4) FROM orders "
+        " WHERE o_custkey = c_custkey) AS max_order "
+        "FROM customer WHERE EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_orderstatus = 'O')"
+    ),
+    "rel_distinct_counts": (
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"
     ),
     "rel_rollup": (
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
