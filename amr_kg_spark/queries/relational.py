@@ -283,6 +283,33 @@ def q_json_extract(spark, sf):
     )
 
 
+# --- pivot (wide-format aggregation) ------------------------------------------
+def q_pivot(spark, sf):
+    e = _t(spark, sf, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+# --- tumbling event-time window (batch form of the streaming agg) -------------
+def q_tumbling_window(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "event_type", "n", "sum_value"
+        )
+    )
+
+
 # --- as-of join (custom operator: union + window, no range explosion) --------
 def q_asof_join(spark, sf):
     from ..operators.asof import asof_join
@@ -451,6 +478,8 @@ QUERIES = {
     "rel_string_funcs": q_string_funcs,
     "rel_split_explode": q_split_explode,
     "rel_json_extract": q_json_extract,
+    "rel_pivot": q_pivot,
+    "rel_tumbling_window": q_tumbling_window,
     "rel_asof_join": q_asof_join,
     "rel_scalar_subquery": q_scalar_subquery,
     "rel_distinct_counts": q_distinct_counts,
@@ -563,6 +592,20 @@ ORACLES = {
     "rel_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
         "FROM events"
+    ),
+    "rel_pivot": (
+        "SELECT user_id, "
+        "count(*) FILTER (WHERE event_type = 'click') AS click, "
+        "count(*) FILTER (WHERE event_type = 'view') AS view, "
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+        "count(*) FILTER (WHERE event_type = 'error') AS error "
+        "FROM events GROUP BY user_id"
+    ),
+    "rel_tumbling_window": (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n, "
+        "round(sum(value), 4) AS sum_value FROM events "
+        "GROUP BY date_trunc('day', ts), event_type"
     ),
     "rel_asof_join": """
 SELECT event_id, asof_o_orderkey FROM (
