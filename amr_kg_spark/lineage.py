@@ -64,7 +64,16 @@ class StageRunner:
         df.write.mode("overwrite").parquet(tmp)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        committed = self.spark.read.parquet(tmp)
+        # atomic publish FIRST, lineage append second: a crash in between
+        # leaves a committed snapshot with a missing audit row (resume is
+        # still correct — the stage is not recomputed), whereas the reverse
+        # order would record lineage for a snapshot that never committed and
+        # then double-count the stage after the resumed re-run.
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+        committed = self.spark.read.parquet(out)
         lineage = (
             committed.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").cast("long").alias("rows"))
@@ -78,10 +87,6 @@ class StageRunner:
             )
         )
         lineage.write.mode("append").parquet(self._lineage_dir())
-        # atomic publish: rename the in-progress dir to the committed path
-        if os.path.exists(out):
-            shutil.rmtree(out)
-        os.rename(tmp, out)
         return self.spark.read.parquet(out)
 
     def lineage(self) -> DataFrame:

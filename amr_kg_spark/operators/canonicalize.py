@@ -91,6 +91,7 @@ def canonicalize_nodes(
     nodes: DataFrame,
     similarity_pairs: DataFrame,
     id_col: str = "node_id",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """Merge duplicate nodes: canonical id = component min; properties merged
     with ``map_concat`` in ascending priority order so the highest-priority
@@ -99,8 +100,12 @@ def canonicalize_nodes(
     nodes must carry a ``priority`` int column (lower = higher priority,
     e.g. chembl=0 < pubchem=1 < spark=2 < drugcentral=3) and a ``props``
     map column; rows without a similarity partner stay singleton components.
+    ``cc`` (node, component) may be passed in when the caller already ran
+    connected components over the same pairs — the iterative CC loop is the
+    most expensive stage of canonicalization and must run exactly once.
     """
-    cc = connected_components(similarity_pairs, "src", "dst")
+    if cc is None:
+        cc = connected_components(similarity_pairs, "src", "dst")
     with_comp = nodes.join(
         cc, nodes[id_col] == cc["node"], "left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
@@ -224,16 +229,30 @@ def canonicalize_kg(
         .withColumn("grp", grp_map[F.col("label")])
         .filter(F.col("grp").isNotNull())
     )
-    # candidate pairs via LSH, then the group gate (same entity type only)
+    # candidate pairs via LSH (recall filter), then an EXACT char-n-gram
+    # Jaccard rerank (precision gate: approxSimilarityJoin's estimated
+    # distance can admit pairs whose true similarity is below threshold),
+    # then the group gate (same entity type only)
+    from .linking import char_ngrams_expr
+
     cand = char_ngram_lsh_pairs(
         named.select(F.col("node_id"), F.col("name")), "node_id", "name",
         max_dist=max_dist,
     )
-    sides = named.select(F.col("node_id").alias("nid"), F.col("grp").alias("g"))
+    grams = named.select(
+        F.col("node_id").alias("nid"),
+        F.expr(char_ngrams_expr("name")).alias("ng"),
+        F.col("grp").alias("g"),
+    )
+    ga = grams.select(F.col("nid").alias("id_a"), F.col("ng").alias("ng_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("nid").alias("id_b"), F.col("ng").alias("ng_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("ng_a", "ng_b"))
+    union = F.size("ng_a") + F.size("ng_b") - inter
     pairs = (
-        cand.join(sides.withColumnRenamed("nid", "id_a").withColumnRenamed("g", "g_a"), "id_a")
-        .join(sides.withColumnRenamed("nid", "id_b").withColumnRenamed("g", "g_b"), "id_b")
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .filter(F.col("g_a") == F.col("g_b"))
+        .filter(inter / union >= F.lit(1.0 - max_dist))
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
 
@@ -243,11 +262,15 @@ def canonicalize_kg(
         "props",
         F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
     )
-    canonical = canonicalize_nodes(with_prio, pairs, id_col="node_id")
+    # CC runs exactly ONCE per canonicalization: the labels feed both the
+    # canonical-node election and the edge-rewrite mapping. localCheckpoint
+    # inside connected_components materializes the similarity pairs, so the
+    # LSH self-join above is also evaluated exactly once.
+    cc = connected_components(pairs, "src", "dst")
+    canonical = canonicalize_nodes(with_prio, pairs, id_col="node_id", cc=cc)
 
     # node -> canonical_id mapping (MUST use the elected canonical id, not
     # the component min — edges and nodes have to agree on identity)
-    cc = connected_components(pairs, "src", "dst")
     mapping = cc.join(
         canonical.select("component", "canonical_id"), "component"
     ).select("node", F.col("canonical_id").alias("component"))

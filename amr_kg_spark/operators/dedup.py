@@ -55,9 +55,15 @@ def with_word_shingles(
     """Append a distinct word-shingle array column, materializing the token
     array in its own projection first so Catalyst binds a reference inside
     the shingle lambda instead of re-splitting the text per element.
-    ``hashed=True`` emits xxhash64(shingle) longs (cheaper downstream)."""
+    ``hashed=True`` emits xxhash64(shingle) longs (cheaper downstream).
+
+    The input is fanned out to the session's parallelism first (no-op on
+    multi-split inputs): shingling is the compute-dense stage of every
+    dedup operator and must never run on a single small-file partition."""
+    from ..session import fan_out
+
     tmp = "__toks"
-    step = df.withColumn(tmp, tokens_col(text_col))
+    step = fan_out(df).withColumn(tmp, tokens_col(text_col))
 
     def mk(i: F.Column) -> F.Column:
         s = F.array_join(F.slice(F.col(tmp), i, n), " ")
@@ -90,42 +96,94 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    hot_shingle_cap: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard-similar pairs via inverted shingle index.
+    """EXACT n-gram Jaccard-similar pairs via a prefix-filtered inverted
+    index (the MapReduce set-similarity join of Vernica/Carey/Li, SIGMOD'10
+    — PPJoin-style prefix + length filters, re-expressed in DataFrame ops).
 
-    shuffle plan: explode shingles -> self-join on shingle (co-occurrence
-    counts) -> join per-doc sizes -> filter. At scale, hot shingles are the
-    skew risk: drop shingles whose document frequency exceeds a cap (they
-    contribute little discrimination and quadratic pairs).
+    Plan:
+      1. shingle + xxhash64 each doc (shuffle payload = longs, not strings);
+      2. global rare-first shingle order = (document frequency, hash);
+      3. index ONLY each doc's prefix — the first ``sz - ceil(t*sz) + 1``
+         shingles in that order. Theorem: two sets with Jaccard >= t must
+         share a prefix element, so candidate recall is exactly 1 while the
+         hot (high-df) shingles that cause the quadratic pair blow-up sort
+         to the END of the order and drop out of most prefixes;
+      4. candidate pairs = prefix self-join + length filter
+         (min_sz >= t * max_sz, a Jaccard necessary condition);
+      5. exact rerank: array_intersect on the full per-doc shingle sets.
+
+    Every step is linear in the corpus except the prefix self-join, whose
+    size is sum(prefix-df^2) — bounded by construction, not by luck. The
+    optional ``hot_shingle_cap`` additionally drops shingles with
+    df > cap from the universe (an approximation knob for adversarial
+    corpora; default off so results match the exact oracle). The cap list
+    is tiny by construction (it is the blocked list, NOT the keep list) and
+    is applied via a broadcast left_anti join.
+
+    The shingled base table is localCheckpoint'ed (eager): it feeds three
+    downstream branches (df counts, prefix index, exact rerank) and, left
+    lazy, Spark's broadcast-subquery futures re-derive it from the raw scan
+    — measured 2-4x the whole query's wall at sf0.1. On a cluster the
+    equivalent is persisting the tokenized corpus before the join, standard
+    for multi-pass set-similarity plans.
     """
-    # shingles are hashed to 64-bit BEFORE the self-join: the shuffle moves
-    # (long, long) pairs instead of multi-word strings (~5-10x less payload);
-    # a 2^-64 collision merges two shingles — immaterial for Jaccard.
-    sh = with_word_shingles(docs, text_col, n, out="__sh", hashed=True).select(
-        F.col(id_col).alias("id"), F.explode("__sh").alias("sh")
+    t = float(threshold)
+    base = (
+        with_word_shingles(docs, text_col, n, out="__sh", hashed=True)
+        .select(F.col(id_col).alias("id"), F.col("__sh").alias("hs"))
+        .filter(F.size("hs") > 0)
+        .localCheckpoint()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # anti-skew: cap posting-list length (rare at these SFs, vital at 100 TB)
-    df_cap = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= 1000)
-    sh = sh.join(F.broadcast(df_cap.select("sh")), "sh", "left_semi")
+    sh = base.select("id", F.explode("hs").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    if hot_shingle_cap is not None:
+        blocked = dfreq.filter(F.col("df") > hot_shingle_cap).select("sh")
+        sh = sh.join(F.broadcast(blocked), "sh", "left_anti")
+        dfreq = dfreq.filter(F.col("df") <= hot_shingle_cap)
 
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    shared = (
+    # rare-first position of each shingle within its doc + doc set size,
+    # one window pass (single shuffle on id, single sort)
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pos = (
+        sh.join(dfreq, "sh")
+        .select(
+            "id",
+            "sh",
+            F.row_number().over(w).alias("pos"),
+            F.count("*").over(wall).cast("int").alias("sz"),
+        )
+    )
+    prefix = pos.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
+    ).select("id", "sz", "sh")
+
+    a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh")
+    cands = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
-            ),
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(t) * F.greatest("sz_a", "sz_b")
         )
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    if hot_shingle_cap is not None:
+        # capped universe: rebuild per-doc sets from the filtered postings
+        sets = sh.groupBy("id").agg(F.collect_list("sh").alias("hs"))
+    else:
+        sets = base.select("id", "hs")
+    paired = cands.join(
+        sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -207,6 +265,9 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     bit = 1 iff vote > 0. Distinct tokens (set semantics) so the oracle's
     relational formulation matches.
     """
+    from ..session import fan_out
+
+    docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
@@ -247,6 +308,9 @@ def embedding_neardup_pairs(
     linear-ish; pass None for the exact brute-force (test scale only).
     Cosine = zip_with dot / norms, all Catalyst.
     """
+    from ..session import fan_out
+
+    emb = fan_out(emb)
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
@@ -283,7 +347,7 @@ def minhash_pairs_native(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Catalyst-native MinHash banding — no pyspark.ml, no Python.
@@ -298,11 +362,17 @@ def minhash_pairs_native(
     Same recall profile as MinHashLSH.approxSimilarityJoin with
     numHashTables=bands, but the whole plan stays in whole-stage codegen;
     candidate pairs are exact-verified so false positives never surface.
+    Default banding (r=2, b=16): a pair at Jaccard j is missed with
+    probability (1-j^2)^16 — 8e-8 at j=0.8, 1e-2 at j=0.5 — so for corpora
+    whose true near-dups sit well above the threshold the output equals the
+    exact answer (checked against the exact-SQL oracle by the driver).
     """
     r = num_hashes // bands
+    # eagerly materialized: feeds signature computation AND both rerank
+    # sides (same rationale as ngram_jaccard_pairs.base)
     base = with_word_shingles(docs, text_col, n, out="hs", hashed=True).select(
         F.col(id_col).alias("id"), "hs"
-    ).filter(F.size("hs") > 0)
+    ).filter(F.size("hs") > 0).localCheckpoint()
 
     sig = base.withColumn(
         "sig",

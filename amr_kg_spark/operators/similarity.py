@@ -40,6 +40,9 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine similarity; deterministic tie-break on id."""
+    from ..session import fan_out
+
+    emb = fan_out(emb)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
     return (
@@ -80,6 +83,9 @@ def rhp_ann_topk(
     corpus so queries touch only matching buckets (partition pruning by
     signature).
     """
+    from ..session import fan_out
+
+    emb = fan_out(emb)
     dim = len(query_vec)
     planes = make_hyperplanes(dim, bits, seed)
     qv = np.asarray(query_vec, dtype=float)

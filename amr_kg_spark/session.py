@@ -70,3 +70,22 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Repartition a DataFrame UP to the session's parallelism when its scan
+    has fewer partitions than cores — the sandbox's single small parquet
+    file otherwise pins every compute-dense projection (shingling, pandas-
+    UDF mention detection, signature hashing) to ONE core.
+
+    Deliberately a no-op when the input already has >= min_partitions
+    splits: at 100 TB the scan has tens of thousands of file splits and a
+    blind repartition would be a full-corpus shuffle. The round-robin
+    shuffle this performs on the small-file case moves only the raw input
+    bytes (cheap by definition: the input was small enough to arrive in
+    too-few splits).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

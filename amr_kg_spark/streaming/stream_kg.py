@@ -19,6 +19,8 @@ trigger.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,10 +134,18 @@ def run_available_now_foreach_batch(
     df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
     """Drain with update-mode semantics into parquet via foreachBatch
-    (the file sink itself only supports append)."""
+    (the file sink itself only supports append).
+
+    foreachBatch is at-least-once: on failure/restart a micro-batch is
+    replayed with the SAME batch_id. Each batch therefore overwrites its
+    own ``batch_id=<id>`` partition directory — a replay rewrites the same
+    files instead of appending duplicates, making the sink idempotent
+    (the parquet stand-in for Iceberg's MERGE-by-batch-id pattern)."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         df.writeStream.foreachBatch(_write)

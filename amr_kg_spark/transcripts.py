@@ -94,9 +94,13 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure Catalyst plan: parquet scan -> 4 broadcast-able literal-table joins
     -> projection. At production scale the real input is
-    ``spark.read.table('catalog.db.transcripts')`` instead.
+    ``spark.read.table('catalog.db.transcripts')`` instead. The scan is
+    fanned out to the session's parallelism (no-op on real multi-split
+    inputs) so the text-heavy downstream stages use every core.
     """
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+    from .session import fan_out
+
+    fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")).createOrReplaceTempView(
         "documents"
     )
     cte = _fix_dialect(transcripts_cte("spark"), "spark")

@@ -8,6 +8,12 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 
 Execution is measured with the noop sink (full plan runs, no driver
 collect). A warmup query amortizes JVM/codegen startup out of the numbers.
+
+Each query is timed as the MIN over $SPARK_GRAFT_BENCH_REPEATS passes
+(default 2): this sandbox shows intermittent multi-x slowdowns from
+co-tenant interference (walls swing 2-6x while steal reads 0), so a
+single-shot wall measures the neighbor, not the plan. Min-of-k is the
+standard estimator for the uncontended cost.
 """
 
 from __future__ import annotations
@@ -57,11 +63,14 @@ def main() -> None:
     # warmup: JVM + Arrow + codegen paths
     _run(queries["kg_triples"](spark, sf_dir))
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        _run(queries[name](spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+    for rep in range(max(1, repeats)):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            _run(queries[name](spark, sf_dir))
+            wall = round(time.monotonic() - t0, 3)
+            times[name] = min(times.get(name, wall), wall)
 
     # triples/sec at this SF (the north-star metric)
     t0 = time.monotonic()

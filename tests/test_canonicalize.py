@@ -92,3 +92,33 @@ def test_canonicalize_kg_merges_name_variants(spark):
     assert canon[10].props["s"] == "chembl"  # highest priority wins collision
     got_edges = {(r.src_id, r.dst_id, r.rel_type) for r in out["edges"].collect()}
     assert got_edges == {(10, 40, "ASSAY_IN"), (10, 50, "TESTED")}
+
+
+def test_canonicalize_kg_runs_cc_exactly_once(spark, monkeypatch):
+    """The iterative CC driver loop is the most expensive canonicalization
+    stage — canonicalize_kg must invoke it exactly once (the labels feed
+    both the node election and the edge-rewrite mapping)."""
+    from amr_kg_spark.operators import canonicalize as C
+
+    calls = []
+    real_cc = C.connected_components
+
+    def counted(*args, **kwargs):
+        calls.append(1)
+        return real_cc(*args, **kwargs)
+
+    monkeypatch.setattr(C, "connected_components", counted)
+    nodes = spark.createDataFrame(
+        [
+            (10, "ChEMBL", "Ciprofloxacin", "chembl:8", {"s": "chembl"}),
+            (20, "PubChem", "ciprofloxacin", "pubchem:2764", {"s": "pubchem"}),
+        ],
+        "node_id long, label string, name string, curie string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(20, 10, "X", {})],
+        "src_id long, dst_id long, rel_type string, props map<string,string>",
+    )
+    out = C.canonicalize_kg(nodes, edges, max_dist=0.4)
+    assert out["nodes"].count() == 1
+    assert len(calls) == 1
