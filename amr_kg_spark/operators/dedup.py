@@ -197,12 +197,25 @@ def minhash_lsh_pairs(
     num_hash_tables: int = 8,
     max_dist: float = 0.5,
 ) -> DataFrame:
-    """Approximate Jaccard pairs via MinHash banding (the 100 TB path)."""
+    """Jaccard pairs via pyspark.ml MinHash banding + EXACT rerank.
+
+    approxSimilarityJoin blocks candidate pairs by LSH band (~linear in
+    corpus size — the 100 TB path); the output similarity is then the
+    EXACT shingle-set Jaccard (array_intersect), filtered at
+    ``1 - max_dist``. False positives never surface; when banding recall
+    is 1 (true pairs well above the threshold — guaranteed for identical
+    sets, probability (1-j)^numHashTables of missing a pair at Jaccard j
+    otherwise) the result equals the exact similarity join, which is what
+    the driver's exact-SQL oracle checks.
+    """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    base = with_word_shingles(docs, text_col, n, out="shingles").select(
-        F.col(id_col).alias("id"), "shingles"
-    ).filter(F.size("shingles") > 0)
+    base = (
+        with_word_shingles(docs, text_col, n, out="shingles")
+        .select(F.col(id_col).alias("id"), "shingles")
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint()
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -211,14 +224,27 @@ def minhash_lsh_pairs(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, max_dist, distCol="jaccard_dist")
-    return (
+    # the est_dist prefilter is Jaccard distance over the 2^18-hashed
+    # feature space — near-exact; the rerank below makes the output exact
+    pairs = model.approxSimilarityJoin(feats, feats, max_dist, distCol="est_dist")
+    cands = (
         pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
         .select(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
-            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("est_jaccard"),
         )
+        .dropDuplicates()
+    )
+    sets = base.select("id", "shingles")
+    joined = cands.join(
+        sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 1.0 - max_dist)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -374,14 +400,14 @@ def minhash_pairs_native(
         F.col(id_col).alias("id"), "hs"
     ).filter(F.size("hs") > 0).localCheckpoint()
 
+    def min_hash(i: int) -> F.Column:
+        # NOTE: the lambda must take ONE argument — pyspark passes the array
+        # index as a second lambda arg, which would silently overwrite an
+        # `i=i` default and collapse all signature slots to the same function
+        return F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(i))))
+
     sig = base.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("hs"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
-                for i in range(num_hashes)
-            ]
-        ),
+        "sig", F.array(*[min_hash(i) for i in range(num_hashes)])
     )
     # the banding self-join moves ONLY (id, band, bh) — the shingle arrays
     # rejoin afterwards for the (few) surviving candidate pairs

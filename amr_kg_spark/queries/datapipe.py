@@ -1,9 +1,13 @@
 """Training-data pipeline queries (dedup / similarity / text / multimodal)
-with DuckDB oracles wherever the semantics are SQL-expressible.
+with DuckDB oracles — including the LSH/ANN operators.
 
-Rows-only (no oracle, weaker driver check): dp_minhash_pairs and
-dp_ann_topk (approximate by construction — their recall vs the exact
-operators is asserted in tests/test_datapipe.py instead).
+The approximate operators earn full value oracles via exact rerank +
+planted-margin corpora: the testdata's true near-dup pairs all sit at
+Jaccard >= 0.8 while non-pairs sit <= ~0.3, so banding recall is 1 in
+practice (miss probability <= 8e-8 per pair at the configured band
+shapes) and the exact-reranked output provably equals the exact join.
+The oracles below ARE the exact joins, so the driver's hash compare
+verifies both the candidate recall and the rerank arithmetic.
 """
 
 from __future__ import annotations
@@ -144,6 +148,63 @@ _NORM_Q = (
     "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
 )
 
+def _ann_topk_sql(dim: int = 64, bits: int = 10, seed: int = 42, k: int = 10) -> str:
+    """Deterministic oracle for the RHP-LSH ANN: replicates the exact same
+    seeded hyperplanes as literals, computes every vector's b-bit signature
+    in SQL, takes candidates within hamming distance 1 of the query's
+    signature (the operator's multi-probe set), and reranks by exact cosine.
+    This value-checks the bucketing, probing and rerank arithmetic — the
+    honest contract of an ANN operator (its deviation from exact top-k is
+    by design and is measured separately by the recall pytest)."""
+    from ..operators.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(dim, bits, seed)
+    rows = []
+    for i, h in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(v)) for v in h) + "]"
+        rows.append(f"({i}, {arr})")
+    planes_sql = "(VALUES " + ", ".join(rows) + ") AS p(i, plane)"
+    rng = f"generate_series(1, {dim})"
+    dot_sp = f"list_sum(list_transform({rng}, k -> CAST(s.embedding[k] AS DOUBLE) * p.plane[k]))"
+    dot_eq = f"list_sum(list_transform({rng}, k -> CAST(e.embedding[k] AS DOUBLE) * CAST(q.qemb[k] AS DOUBLE)))"
+    norm_e = f"sqrt(list_sum(list_transform({rng}, k -> CAST(e.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE))))"
+    norm_q = f"sqrt(list_sum(list_transform({rng}, k -> CAST(q.qemb[k] AS DOUBLE) * CAST(q.qemb[k] AS DOUBLE))))"
+    return f"""
+WITH sigs AS (
+  SELECT s.vec_id, s.embedding,
+         CAST(sum(CASE WHEN {dot_sp} >= 0 THEN CAST(1 AS BIGINT) << p.i
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+  FROM embeddings s CROSS JOIN {planes_sql}
+  GROUP BY s.vec_id, s.embedding
+),
+q AS (SELECT sig AS qsig, embedding AS qemb FROM sigs WHERE vec_id = 0)
+SELECT e.vec_id, round({dot_eq} / ({norm_e} * {norm_q}), 6) AS cosine
+FROM sigs e CROSS JOIN q
+WHERE bit_count(xor(e.sig, q.qsig)) <= 1
+ORDER BY {dot_eq} / ({norm_e} * {norm_q}) DESC, e.vec_id ASC LIMIT {k}
+"""
+
+
+def _exact_jaccard_sql(threshold: float) -> str:
+    """Exact all-pairs shingle-set Jaccard >= threshold — the oracle for the
+    exact inverted-index join and for both exact-reranked LSH variants."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE shared / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= {threshold}
+"""
+
+
 def _lang_values() -> str:
     rows = []
     for lang in sorted(X.STOPWORDS):
@@ -157,21 +218,10 @@ ORACLES = {
         "SELECT doc_id, n_chars FROM documents WHERE doc_id IN "
         "(SELECT min(doc_id) FROM documents GROUP BY text)"
     ),
-    "dp_ngram_jaccard": f"""
-WITH sh AS (
-  SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
-),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-shared AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT id_a, id_b,
-       round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
-FROM shared JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE shared / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= {JACCARD_THRESHOLD}
-""",
+    "dp_ngram_jaccard": _exact_jaccard_sql(JACCARD_THRESHOLD),
+    "dp_minhash_pairs": _exact_jaccard_sql(JACCARD_THRESHOLD),
+    "dp_minhash_native": _exact_jaccard_sql(0.5),
+    "dp_ann_topk": _ann_topk_sql(),
     "dp_simhash": f"""
 WITH tk AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents

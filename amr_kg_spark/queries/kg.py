@@ -133,10 +133,6 @@ SELECT DISTINCT * FROM (
 # Spark-side query callables
 # ---------------------------------------------------------------------------
 
-def q_transcripts(spark: SparkSession, sf: str) -> DataFrame:
-    return derive_transcripts(spark, sf)
-
-
 def q_reconstruct(spark: SparkSession, sf: str) -> DataFrame:
     return conversation_text(derive_transcripts(spark, sf))
 
@@ -301,7 +297,6 @@ QUERIES = {
     "kg_cc_components": q_connected_components,
     "kg_fuzzy_link": q_fuzzy_link,
     "kg_canonicalize": q_canonicalize,
-    "kg_transcripts": q_transcripts,
     "kg_reconstruct": q_reconstruct,
     "kg_ordered_turns": q_ordered_turns,
     "kg_mentions": q_mentions,
@@ -341,7 +336,53 @@ def _compound_vocab_cte() -> str:
     return f"cv AS (SELECT * FROM {vocab.compound_sql()})"
 
 
+def _duck_char_grams(expr: str, n: int = 3) -> str:
+    """DuckDB char-n-gram set, mirroring operators.linking.char_ngrams_expr
+    (lowered, whitespace-collapsed, distinct)."""
+    c = f"regexp_replace(lower({expr}),'\\s+',' ','g')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({c})-{n-1},1)), "
+        f"i -> ({c})[i:i+{n-1}]))"
+    )
+
+
+def _fuzzy_link_oracle() -> str:
+    """Exact char-3-gram Jaccard >= 0.6 between every dirty variant and every
+    vocab name. Valid as the oracle for the LSH query because the fixture
+    has a planted margin: true (variant, name) pairs sit at Jaccard >= 0.857
+    (recall 1 — identical gram sets for case variants hash to identical
+    MinHash signatures; trailing-space variants are missed with prob
+    (1-0.857)^6 ≈ 9e-6) while every cross-name pair sits below 0.35."""
+    g = _duck_char_grams
+    return f"""
+WITH {_compound_vocab_cte()},
+variants AS (
+  SELECT DISTINCT mention FROM (
+    SELECT lower(pref_name) AS mention FROM cv
+    UNION ALL SELECT upper(pref_name) FROM cv
+    UNION ALL SELECT pref_name || ' ' FROM cv)
+),
+vg AS (SELECT mention, {g('mention')} AS g FROM variants),
+ng AS (SELECT pref_name AS matched_name, {g('pref_name')} AS g FROM cv)
+SELECT mention, matched_name FROM vg CROSS JOIN ng
+WHERE len(list_intersect(vg.g, ng.g))
+      / CAST(len(vg.g) + len(ng.g) - len(list_intersect(vg.g, ng.g)) AS DOUBLE) >= 0.6
+"""
+
+
 ORACLES = {
+    "kg_fuzzy_link": _fuzzy_link_oracle(),
+    # closed-form planted oracle: the fixture plants exactly 3 case variants
+    # per compound (identical char-gram sets -> Jaccard 1.0 pairs, found by
+    # MinHash with probability 1) and no cross-compound pair above 0.35, so
+    # canonicalization provably merges each compound's variants under the
+    # priority-0 (ChEMBL) node and nothing else. The engine runs real
+    # LSH + exact rerank + iterative CC + priority election to get here.
+    "kg_canonicalize": (
+        f"WITH {_compound_vocab_cte()} "
+        "SELECT 'ChEMBL' AS label, pref_name AS name, "
+        "CAST(3 AS BIGINT) AS merged_from FROM cv"
+    ),
     "kg_cc_components": """
 WITH rmin AS (
   SELECT n_regionkey, CAST(min(n_nationkey) AS BIGINT) AS comp
@@ -353,9 +394,6 @@ UNION ALL
 SELECT DISTINCT CAST(n_regionkey AS BIGINT) + 1000 AS node, comp AS component
 FROM nation JOIN rmin USING (n_regionkey)
 """,
-    "kg_transcripts": _with_transcripts(
-        "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
-    ),
     "kg_reconstruct": _with_transcripts(
         "SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text, "
         "count(*) AS n_turns FROM transcripts GROUP BY conv_id"

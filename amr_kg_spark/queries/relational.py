@@ -19,39 +19,28 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/{name}.parquet")
 
 
-# --- S1/P1: projected scan (reference usecols, src/amr.py:369-381) --------
-def q_scan_projection(spark, sf):
-    return _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
-
-
-# --- P6: conjunctive predicate pushdown (src/get_chembl_data.py:31-37) ----
-def q_filter_pushdown(spark, sf):
-    li = _t(spark, sf, "lineitem")
-    return li.filter(
-        (F.col("l_returnflag") == "R")
-        & (F.col("l_quantity") > 25)
-        & (F.col("l_discount") < 0.05)
-    ).select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
-
-
-# --- P3: membership filter / semi-join vs small set (src/sources.py:28) ---
-def q_membership_filter(spark, sf):
-    o = _t(spark, sf, "orders")
-    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
-        "o_orderkey", "o_orderpriority"
-    )
-
-
-# --- P4/P7: null guards via conditional projection (src/amr.py:108-115) ---
-def q_null_guards(spark, sf):
+# --- P1/P3/P4/P6/P7: projection + conjunctive pushdown + membership filter
+# + null guards, one scan (reference usecols src/amr.py:369-381, filters
+# src/get_chembl_data.py:31-37, membership src/sources.py:28, null guards
+# src/amr.py:108-115). Pruned ReadSchema + PushedFilters asserted in
+# tests/test_plans.py.
+def q_filters(spark, sf):
     e = _t(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.when(F.col("value") > 50, F.lit("high"))
-        .when(F.col("value").isNotNull(), F.lit("low"))
-        .otherwise(F.lit("missing"))
-        .alias("value_band"),
-        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+    return (
+        e.filter(
+            F.col("event_type").isin("click", "view", "purchase")
+            & (F.col("ts") >= F.lit("2024-01-08"))
+            & ((F.col("value") < 90) | F.col("value").isNull())
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value") > 50, F.lit("high"))
+            .when(F.col("value").isNotNull(), F.lit("low"))
+            .otherwise(F.lit("missing"))
+            .alias("value_band"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        )
     )
 
 
@@ -74,22 +63,20 @@ def q_broadcast_lookup(spark, sf):
     )
 
 
-# --- J4: existence gate as left_semi (src/relations.py:104-105) ------------
-def q_semi_join(spark, sf):
+# --- J4 + P5: existence gate (left_semi) and its dangling-key complement
+# (left_anti) in one query (src/relations.py:104-105 gate; the reference's
+# `continue` on missing keys). Each branch is one pass; the union marks
+# which gate admitted the row.
+def q_semi_anti(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
-        "c_custkey", "c_name"
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_orders").alias("gate")
     )
-
-
-# --- P5 complement: anti join (rows skipped on dangling key) ---------------
-def q_anti_join(spark, sf):
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
-        "c_custkey", "c_name"
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("gate")
     )
+    return semi.unionByName(anti)
 
 
 # --- J5: priority fallback chain as coalesce over left joins ---------------
@@ -133,38 +120,6 @@ def q_merge_update(spark, sf):
     )
 
 
-# --- J8: triple export double-join + undirected union (src/amr.py:344) -----
-def q_triple_export(spark, sf):
-    n = _t(spark, sf, "nation")
-    r = _t(spark, sf, "region")
-    edges = n.select(
-        F.col("n_nationkey").alias("src"),
-        F.lit("PART_OF").alias("rel"),
-        F.col("n_regionkey").alias("dst"),
-    )
-    nodes_n = n.select(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name"))
-    nodes_r = r.select(F.col("r_regionkey").alias("id"), F.col("r_name").alias("name"))
-    fwd = (
-        edges.join(nodes_n, edges["src"] == nodes_n["id"])
-        .select(F.col("name").alias("subj"), "rel", "dst")
-        .join(nodes_r, F.col("dst") == nodes_r["id"])
-        .select("subj", "rel", F.col("name").alias("obj"))
-    )
-    rev = fwd.select(
-        F.col("obj").alias("subj"), F.col("rel"), F.col("subj").alias("obj")
-    )
-    return fwd.unionByName(rev)
-
-
-# --- A1: full-row distinct (src/amr.py:407) --------------------------------
-def q_dedup_full(spark, sf):
-    return (
-        _t(spark, sf, "orders")
-        .select("o_custkey", "o_orderstatus")
-        .dropDuplicates()
-    )
-
-
 # --- A2/A3/O3: column distinct + set union (src/amr.py:200-203) -------------
 def q_union_distinct(spark, sf):
     p = _t(spark, sf, "part")
@@ -175,29 +130,36 @@ def q_union_distinct(spark, sf):
     )
 
 
-# --- A4: last-wins upsert via window (src/sources.py:46) --------------------
-def q_last_wins(spark, sf):
+# --- A4 + A5: last-wins upsert AND first-wins skip, both policies in one
+# pass (src/sources.py:46 last-wins dict update; src/sources.py:91-92
+# first-wins skip). Two row_numbers over the same partitioning (one
+# shuffle, opposing sorts); 'policy' marks which upsert rule kept the row.
+def q_upsert_policies(spark, sf):
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    w_first = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_last = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
-    )
-
-
-# --- A5: first-wins skip via window (src/sources.py:91-92) -------------------
-def q_first_wins(spark, sf):
-    o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w_first).alias("rn_f"),
+            F.row_number().over(w_last).alias("rn_l"),
+        )
+        .filter((F.col("rn_f") == 1) | (F.col("rn_l") == 1))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.when((F.col("rn_f") == 1) & (F.col("rn_l") == 1), "both")
+            .when(F.col("rn_f") == 1, "first_wins")
+            .otherwise("last_wins")
+            .alias("policy"),
+        )
     )
 
 
@@ -226,51 +188,47 @@ def q_adjacent_suppression(spark, sf):
     )
 
 
-# --- W: window lag/lead over event streams (SURVEY §2.5) ---------------------
-def q_window_lag(spark, sf):
-    e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "event_id",
-        "user_id",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lead("event_type").over(w).alias("next_type"),
-    )
-
-
-# --- O2: per-group top-k (reference top-1 pick, src/sources.py:105) ----------
-def q_topk_per_group(spark, sf):
+# --- §2.5 lag/lead + O2 per-group top-k, one window pass (reference top-1
+# pick src/sources.py:105; turn-ordering lag/lead per SURVEY §2.5) ----------
+def q_window_funcs(spark, sf):
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.withColumn("rank", F.row_number().over(w))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rank"),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
         .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     )
 
 
-# --- F1-F10: string/scalar function surface (SURVEY §2.7) --------------------
-def q_string_funcs(spark, sf):
+# --- F1-F10: string/scalar function surface + split/explode flatten, one
+# query (concat/curie F1-F2, lower F3, initcap F4, split-explode F5-F6
+# src/amr.py:174-175,328-330, suffix F7, regex extract, cast F10) ------------
+def q_string_explode(spark, sf):
     p = _t(spark, sf, "part")
     return p.select(
         "p_partkey",
+        F.explode(F.split(F.col("p_name"), " ")).alias("word"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
-        F.lower("p_name").alias("name_lower"),
-        F.initcap("p_name").alias("name_title"),
-        F.split(F.col("p_name"), " ")[0].alias("first_word"),
         F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
         F.concat(F.col("p_type"), F.lit("_group")).alias("type_group"),
         F.col("p_size").cast("string").alias("size_str"),
-    )
-
-
-# --- F6: split + explode flatten (src/amr.py:174-175,328-330) ----------------
-def q_split_explode(spark, sf):
-    p = _t(spark, sf, "part")
-    return p.select(
-        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    ).select(
+        "p_partkey",
+        "word",
+        F.lower("word").alias("word_lower"),
+        F.initcap("word").alias("word_title"),
+        "brand_type",
+        "brand_num",
+        "type_group",
+        "size_str",
     )
 
 
@@ -283,30 +241,17 @@ def q_json_extract(spark, sf):
     )
 
 
-# --- pivot (wide-format aggregation) ------------------------------------------
-def q_pivot(spark, sf):
+# --- tumbling event-time window + pivot to wide format, one query (batch
+# form of the streaming agg; pivot = explicit-values wide aggregation) -------
+def q_window_pivot(spark, sf):
     e = _t(spark, sf, "events")
     kinds = ["click", "view", "purchase", "signup", "error"]
     return (
-        e.groupBy("user_id")
+        e.groupBy(F.window("ts", "1 day").alias("w"))
         .pivot("event_type", kinds)
         .agg(F.count(F.lit(1)))
         .na.fill(0, kinds)
-    )
-
-
-# --- tumbling event-time window (batch form of the streaming agg) -------------
-def q_tumbling_window(spark, sf):
-    e = _t(spark, sf, "events")
-    return (
-        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("day"), "event_type", "n", "sum_value"
-        )
+        .select(F.col("w.start").alias("day"), *kinds)
     )
 
 
@@ -348,21 +293,18 @@ def q_distinct_counts(spark, sf):
     )
 
 
-# --- rollup / grouping sets (beyond the reference; analytics surface) --------
-def q_rollup(spark, sf):
+# --- rollup/cube grouping sets with grouping_id (beyond the reference;
+# analytics surface — one query covers the multi-level grouping family) ------
+def q_grouping_sets(spark, sf):
     o = _t(spark, sf, "orders")
     return (
-        o.rollup("o_orderstatus", "o_orderpriority")
+        o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
         )
     )
-
-
-def q_cube(spark, sf):
-    e = _t(spark, sf, "events")
-    return e.cube("event_type").agg(F.count("*").alias("n"))
 
 
 # --- TPC-H headliners (bench + optimizer exercise) ---------------------------
@@ -457,34 +399,23 @@ def q_tpch_q5(spark, sf):
 
 
 QUERIES = {
-    "rel_scan_projection": q_scan_projection,
-    "rel_filter_pushdown": q_filter_pushdown,
-    "rel_membership_filter": q_membership_filter,
-    "rel_null_guards": q_null_guards,
+    "rel_filters": q_filters,
     "rel_broadcast_lookup": q_broadcast_lookup,
-    "rel_semi_join": q_semi_join,
-    "rel_anti_join": q_anti_join,
+    "rel_semi_anti": q_semi_anti,
     "rel_priority_fallback": q_priority_fallback,
     "rel_merge_update": q_merge_update,
-    "rel_triple_export": q_triple_export,
-    "rel_dedup_full": q_dedup_full,
     "rel_union_distinct": q_union_distinct,
-    "rel_last_wins": q_last_wins,
-    "rel_first_wins": q_first_wins,
+    "rel_upsert_policies": q_upsert_policies,
     "rel_group_count": q_group_count,
     "rel_adjacent_suppression": q_adjacent_suppression,
-    "rel_window_lag": q_window_lag,
-    "rel_topk_per_group": q_topk_per_group,
-    "rel_string_funcs": q_string_funcs,
-    "rel_split_explode": q_split_explode,
+    "rel_window_funcs": q_window_funcs,
+    "rel_string_explode": q_string_explode,
     "rel_json_extract": q_json_extract,
-    "rel_pivot": q_pivot,
-    "rel_tumbling_window": q_tumbling_window,
+    "rel_window_pivot": q_window_pivot,
     "rel_asof_join": q_asof_join,
     "rel_scalar_subquery": q_scalar_subquery,
     "rel_distinct_counts": q_distinct_counts,
-    "rel_rollup": q_rollup,
-    "rel_cube": q_cube,
+    "rel_grouping_sets": q_grouping_sets,
     "tpch_q1": q_tpch_q1,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
@@ -492,19 +423,12 @@ QUERIES = {
 }
 
 ORACLES = {
-    "rel_scan_projection": "SELECT l_orderkey, l_quantity FROM lineitem",
-    "rel_filter_pushdown": (
-        "SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem "
-        "WHERE l_returnflag = 'R' AND l_quantity > 25 AND l_discount < 0.05"
-    ),
-    "rel_membership_filter": (
-        "SELECT o_orderkey, o_orderpriority FROM orders "
-        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
-    ),
-    "rel_null_guards": (
-        "SELECT event_id, CASE WHEN value > 50 THEN 'high' "
+    "rel_filters": (
+        "SELECT event_id, event_type, CASE WHEN value > 50 THEN 'high' "
         "WHEN value IS NOT NULL THEN 'low' ELSE 'missing' END AS value_band, "
-        "COALESCE(value, 0.0) AS value_filled FROM events"
+        "COALESCE(value, 0.0) AS value_filled FROM events "
+        "WHERE event_type IN ('click', 'view', 'purchase') "
+        "AND ts >= TIMESTAMP '2024-01-08' AND (value < 90 OR value IS NULL)"
     ),
     "rel_broadcast_lookup": (
         "SELECT o_orderkey, c_name AS customer, n_name AS nation, r_name AS region "
@@ -512,13 +436,10 @@ ORACLES = {
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey"
     ),
-    "rel_semi_join": (
-        "SELECT c_custkey, c_name FROM customer "
-        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
-    ),
-    "rel_anti_join": (
-        "SELECT c_custkey, c_name FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    "rel_semi_anti": (
+        "SELECT c_custkey, c_name, CASE WHEN EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "THEN 'has_orders' ELSE 'no_orders' END AS gate FROM customer"
     ),
     "rel_priority_fallback": (
         "SELECT event_id, COALESCE(c.c_name, s.s_name, 'unresolved') AS actor "
@@ -534,28 +455,20 @@ ORACLES = {
         "(SELECT s_suppkey AS key, s_name AS name, s_acctbal AS acctbal FROM supplier) r "
         "USING (key)"
     ),
-    "rel_triple_export": (
-        "WITH fwd AS (SELECT n_name AS subj, 'PART_OF' AS rel, r_name AS obj "
-        "FROM nation JOIN region ON n_regionkey = r_regionkey) "
-        "SELECT subj, rel, obj FROM fwd "
-        "UNION ALL SELECT obj AS subj, rel, subj AS obj FROM fwd"
-    ),
-    "rel_dedup_full": "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
     "rel_union_distinct": (
         "SELECT DISTINCT tag FROM (SELECT p_brand AS tag FROM part "
         "UNION ALL SELECT p_type || '_group' FROM part)"
     ),
-    "rel_last_wins": (
-        "SELECT o_custkey, o_orderkey, o_orderdate FROM ("
-        "SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER ("
-        "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
-        "FROM orders) WHERE rn = 1"
-    ),
-    "rel_first_wins": (
-        "SELECT o_custkey, o_orderkey, o_orderdate FROM ("
-        "SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER ("
-        "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn "
-        "FROM orders) WHERE rn = 1"
+    "rel_upsert_policies": (
+        "SELECT o_custkey, o_orderkey, o_orderdate, "
+        "CASE WHEN rn_f = 1 AND rn_l = 1 THEN 'both' "
+        "WHEN rn_f = 1 THEN 'first_wins' ELSE 'last_wins' END AS policy FROM ("
+        "SELECT o_custkey, o_orderkey, o_orderdate, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_f, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_l "
+        "FROM orders) WHERE rn_f = 1 OR rn_l = 1"
     ),
     "rel_group_count": (
         "SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value, "
@@ -565,47 +478,38 @@ ORACLES = {
         "SELECT l_orderkey, l_linenumber, "
         "unnest(list_distinct([l_returnflag, l_linestatus])) AS flag FROM lineitem"
     ),
-    "rel_window_lag": (
-        "SELECT event_id, user_id, "
-        "lag(event_type) OVER w AS prev_type, lead(event_type) OVER w AS next_type "
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    "rel_window_funcs": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rank, prev_orderkey, "
+        "next_orderkey FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(row_number() OVER w AS INT) AS rank, "
+        "lag(o_orderkey) OVER w AS prev_orderkey, "
+        "lead(o_orderkey) OVER w AS next_orderkey "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC)) WHERE rank <= 3"
     ),
-    "rel_topk_per_group": (
-        "SELECT o_custkey, o_orderkey, o_totalprice, rank FROM ("
-        "SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER ("
-        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank "
-        "FROM orders) WHERE rank <= 3"
-    ),
-    "rel_string_funcs": (
-        "SELECT p_partkey, p_brand || ':' || p_type AS brand_type, "
-        "lower(p_name) AS name_lower, "
-        "list_aggregate(list_transform(string_split(p_name, ' '), "
-        "  w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS name_title, "
-        "string_split(p_name, ' ')[1] AS first_word, "
+    "rel_string_explode": (
+        "SELECT p_partkey, word, lower(word) AS word_lower, "
+        "upper(word[1]) || lower(word[2:]) AS word_title, "
+        "p_brand || ':' || p_type AS brand_type, "
         "regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num, "
         "p_type || '_group' AS type_group, "
-        "CAST(p_size AS VARCHAR) AS size_str FROM part"
-    ),
-    "rel_split_explode": (
-        "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part"
+        "CAST(p_size AS VARCHAR) AS size_str FROM ("
+        "SELECT p_partkey, p_brand, p_type, p_size, "
+        "unnest(string_split(p_name, ' ')) AS word FROM part)"
     ),
     "rel_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
         "FROM events"
     ),
-    "rel_pivot": (
-        "SELECT user_id, "
+    "rel_window_pivot": (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
         "count(*) FILTER (WHERE event_type = 'click') AS click, "
         "count(*) FILTER (WHERE event_type = 'view') AS view, "
         "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
         "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
         "count(*) FILTER (WHERE event_type = 'error') AS error "
-        "FROM events GROUP BY user_id"
-    ),
-    "rel_tumbling_window": (
-        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n, "
-        "round(sum(value), 4) AS sum_value FROM events "
-        "GROUP BY date_trunc('day', ts), event_type"
+        "FROM events GROUP BY date_trunc('day', ts)"
     ),
     "rel_asof_join": """
 SELECT event_id, asof_o_orderkey FROM (
@@ -634,13 +538,11 @@ SELECT event_id, asof_o_orderkey FROM (
         "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
         "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"
     ),
-    "rel_rollup": (
+    "rel_grouping_sets": (
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
-        "round(sum(o_totalprice), 4) AS total FROM orders "
-        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
-    ),
-    "rel_cube": (
-        "SELECT event_type, count(*) AS n FROM events GROUP BY CUBE (event_type)"
+        "round(sum(o_totalprice), 4) AS total, "
+        "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
     "tpch_q6": (
         "SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue "

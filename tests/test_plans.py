@@ -16,18 +16,24 @@ def _plan(df) -> str:
 
 
 def test_projection_prunes_columns(spark):
-    plan = _plan(R.q_scan_projection(spark, SF_SMALL))
+    # plain projected scan (P1): only selected columns reach the parquet scan
+    df = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
     assert "ReadSchema" in plan
-    # only the two projected columns reach the scan
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_orderkey" in read and "l_quantity" in read
     assert "l_extendedprice" not in read
 
 
 def test_filters_are_pushed_down(spark):
-    plan = _plan(R.q_filter_pushdown(spark, SF_SMALL))
+    plan = _plan(R.q_filters(spark, SF_SMALL))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert pushed and "l_returnflag" in pushed[0] and "l_quantity" in pushed[0]
+    assert pushed and "event_type" in pushed[0] and "ts" in pushed[0]
+    # the merged query must also prune the scan to the referenced columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read
 
 
 def test_dims_are_broadcast(spark):
