@@ -226,6 +226,59 @@ def q_edge_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mic_doc_cte(dialect: str) -> str:
+    """Deterministic mic-script-shaped table derived from documents by
+    doc_id arithmetic (mirrors /root/reference/data/MIC/mic-data.tsv's
+    usecols shape: strain, chembl_id, NAME, pIC50, assay_id, journal, year
+    — all strings, comma decimals in pIC50, nullable journal/year/assay)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f""",
+micdoc AS (
+  SELECT pp.term AS strain,
+         'CHEMBL' || CAST(d.doc_id % 10 + 100 AS {s}) AS chembl_id,
+         cp2.pref_name AS name,
+         CASE WHEN d.doc_id % 4 = 3 THEN NULL
+              ELSE CAST(d.doc_id % 64 AS {s}) || ',' || CAST(d.doc_id % 10 AS {s}) END AS pic50,
+         CASE WHEN d.doc_id % 11 = 0 THEN NULL
+              ELSE 'ASSAY' || CAST(d.doc_id % 22 AS {s}) END AS assay_id,
+         CASE WHEN d.doc_id % 3 = 0 THEN NULL
+              ELSE 'Journal-' || CAST(d.doc_id % 5 AS {s}) END AS journal,
+         CASE WHEN d.doc_id % 5 = 0 THEN NULL
+              ELSE CAST(2010 + d.doc_id % 13 AS {s}) END AS year
+  FROM documents d
+  JOIN pp ON pp.idx = CAST(d.doc_id % 12 AS INT)
+  JOIN cp2 ON cp2.idx = CAST(d.doc_id % 10 AS INT)
+)"""
+
+
+def derive_mic_doc(spark: SparkSession, sf: str) -> DataFrame:
+    from ..session import fan_out
+
+    fan_out(spark.read.parquet(f"{sf}/documents.parquet")).createOrReplaceTempView(
+        "documents"
+    )
+    cp2 = sql_values(
+        [(i, c[0]) for i, c in enumerate(vocab.COMPOUNDS)], ["idx", "pref_name"]
+    )
+    cte = (
+        f"WITH pp AS (SELECT * FROM {_pathogen_pick_values()}),\n"
+        f"cp2 AS (SELECT * FROM {cp2})"
+        + _mic_doc_cte("spark")
+    )
+    return spark.sql(f"{cte}\nSELECT * FROM micdoc")
+
+
+def q_mic_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The mic-script subgraph (HAS_pIC50 / FOUND_IN / IN_YEAR / ASSAY_IN
+    edge families incl. the post-node-creation journal fillna) run through
+    the real graph build — node registries + per-row edge multiset + node
+    joins; the oracle recomputes the expected (subj, pred, obj) multiset
+    directly from the planting arithmetic."""
+    from ..refgraph import mic_graph
+
+    return mic_graph(derive_mic_doc(spark, sf))["triples"]
+
+
 def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative CC (pointer-jumping label propagation) over the
     nation–region bipartite graph — closed-form oracle: every node's
@@ -308,6 +361,7 @@ QUERIES = {
     "kg_triples_undirected": q_triples_undirected,
     "kg_nodes": q_nodes,
     "kg_edge_counts": q_edge_counts,
+    "kg_mic_edges": q_mic_edges,
 }
 
 
@@ -471,5 +525,19 @@ SELECT rel_type, count(*) AS n_edges FROM (
   SELECT 'studiedAt' FROM planted WHERE has_inst
 ) GROUP BY rel_type""",
         _PLANTED_CTE,
+    ),
+    "kg_mic_edges": (
+        f"WITH pp AS (SELECT * FROM {_pathogen_pick_values()}),\n"
+        f"cp2 AS (SELECT * FROM "
+        + sql_values(
+            [(i, c[0]) for i, c in enumerate(vocab.COMPOUNDS)], ["idx", "pref_name"]
+        )
+        + ")"
+        + _mic_doc_cte("duckdb")
+        + """
+SELECT strain AS subj, 'ASSAY_IN' AS pred, name AS obj FROM micdoc WHERE assay_id IS NOT NULL
+UNION ALL SELECT name, 'HAS_pIC50', pic50 FROM micdoc WHERE pic50 IS NOT NULL
+UNION ALL SELECT name, 'FOUND_IN', coalesce(journal, 'Assay test') FROM micdoc
+UNION ALL SELECT name, 'IN_YEAR', year FROM micdoc WHERE year IS NOT NULL"""
     ),
 }

@@ -37,22 +37,37 @@ from pyspark.sql import functions as F
 from .vocab import sql_values  # noqa: F401  (fixture helpers reuse)
 
 
+def props_map(**pairs: F.Column) -> F.Column:
+    """Property map with the reference's 'only if notna' insertion rule
+    (src/amr.py:106-115 etc.): null-valued entries are dropped so the map
+    holds exactly the keys the reference would have set on the py2neo Node."""
+    keys = F.array(*[F.lit(k) for k in pairs])
+    vals = F.array(*[v.cast("string") for v in pairs.values()])
+    return F.map_filter(F.map_from_arrays(keys, vals), lambda _, v: v.isNotNull())
+
+
 # ---------------------------------------------------------------------------
-# node tables — one (label, key, name, curie) frame per registry
+# node tables — one (label, key, name, curie, props) frame per registry
 # ---------------------------------------------------------------------------
 
 def person_nodes(person: DataFrame) -> DataFrame:
-    """src/amr.py:105-118 — keyed by name; name property only if notna."""
+    """src/amr.py:105-118 — keyed by name; name/email/orcid props only if
+    notna."""
     return person.select(
         F.lit("Person").alias("label"),
         F.col("contact").alias("key"),
         F.col("contact").alias("name"),
         F.lit(None).cast("string").alias("curie"),
+        props_map(
+            name=F.col("contact"), email=F.col("email"), orcid=F.col("orcid")
+        ).alias("props"),
     ).dropDuplicates(["key"])
 
 
 def institute_nodes(institute: DataFrame) -> DataFrame:
-    """src/amr.py:128-138 — skipped entirely when name is null."""
+    """src/amr.py:128-138 — skipped entirely when name is null; the
+    reference sets 'link' unguarded inside the notna(name) branch (a NaN
+    link becomes a null property); we keep the map null-free."""
     return (
         institute.filter(F.col("institute").isNotNull())
         .select(
@@ -60,49 +75,82 @@ def institute_nodes(institute: DataFrame) -> DataFrame:
             F.col("institute").alias("key"),
             F.col("institute").alias("name"),
             F.lit(None).cast("string").alias("curie"),
+            props_map(name=F.col("institute"), link=F.col("link")).alias("props"),
         )
         .dropDuplicates(["key"])
     )
 
 
 def project_nodes(project: DataFrame) -> DataFrame:
-    """src/amr.py:149-160 — curie = 'imi:' + lower(name)."""
+    """src/amr.py:149-160 — curie = 'imi:' + lower(name); link = the IMI
+    factsheet URL built from the lowered name."""
+    curie = F.concat(F.lit("imi:"), F.lower("project"))
+    link = F.concat(
+        F.lit("https://www.imi.europa.eu/projects-results/project-factsheets/"),
+        F.lower("project"),
+    )
     return (
         project.filter(F.col("project").isNotNull())
         .select(
             F.lit("Project").alias("label"),
             F.col("project").alias("key"),
             F.col("project").alias("name"),
-            F.concat(F.lit("imi:"), F.lower("project")).alias("curie"),
+            curie.alias("curie"),
+            props_map(name=F.col("project"), curie=curie, link=link).alias("props"),
         )
         .dropDuplicates(["key"])
     )
 
 
 def pathogen_nodes(pathogen: DataFrame) -> DataFrame:
-    """src/amr.py:179-189 — keyed by (unsplit) pathogen name."""
+    """src/amr.py:179-189 — keyed by (unsplit) pathogen name; info = the
+    NCBI taxonomy browser URL."""
+    curie = F.concat(F.lit("ncbitaxon:"), F.col("ncbitaxon"))
+    info = F.concat(
+        F.lit(
+            "https://www.ncbi.nlm.nih.gov/Taxonomy/Browser/wwwtax.cgi?mode=Info&id="
+        ),
+        F.col("ncbitaxon"),
+    )
     return (
         pathogen.filter(F.col("pathogen").isNotNull())
         .select(
             F.lit("Pathogen").alias("label"),
             F.col("pathogen").alias("key"),
             F.col("pathogen").alias("name"),
-            F.concat(F.lit("ncbitaxon:"), F.col("ncbitaxon")).alias("curie"),
+            curie.alias("curie"),
+            props_map(name=F.col("pathogen"), curie=curie, info=info).alias("props"),
         )
         .dropDuplicates(["key"])
     )
 
 
 def skill_nodes(skill: DataFrame) -> DataFrame:
-    """src/amr.py:200-220 — skills ∪ {category+'_group'} (A3)."""
+    """src/amr.py:200-220 — skills ∪ {category+'_group'} (A3); definition
+    carried for skills that have one (skill_def dict; group nodes have none
+    unless a skill shares the group's name)."""
     base = skill.select(F.col("skill").alias("key")).union(
         skill.select(F.concat(F.col("category"), F.lit("_group")).alias("key"))
     ).distinct().filter(F.col("key").isNotNull())
-    return base.select(
-        F.lit("Skill").alias("label"),
-        "key",
-        F.col("key").alias("name"),
-        F.lit(None).cast("string").alias("curie"),
+    # skill -> definition (dict comprehension keeps the LAST notna definition
+    # per skill; deterministic stand-in: max())
+    defs = (
+        skill.filter(F.col("definition").isNotNull())
+        .groupBy("skill")
+        .agg(F.max("definition").alias("definition"))
+        .withColumnRenamed("skill", "dkey")
+    )
+    return (
+        base.join(F.broadcast(defs), base["key"] == defs["dkey"], "left")
+        .select(
+            F.lit("Skill").alias("label"),
+            "key",
+            F.col("key").alias("name"),
+            F.lit(None).cast("string").alias("curie"),
+            props_map(name=F.col("key"), definition=F.col("definition")).alias(
+                "props"
+            ),
+        )
     )
 
 
@@ -133,16 +181,27 @@ def chembl_nodes(mic: DataFrame, pathogen: DataFrame) -> DataFrame:
         F.col("chembl_id").desc_nulls_last()
     )
     dedup = rows.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    name = F.when(
+        F.col("pref_name").isNotNull(), F.initcap(F.lower("pref_name"))
+    )
+    curie = F.when(
+        F.col("chembl_id").isNotNull(),
+        F.concat(F.lit("chembl:"), F.col("chembl_id")),
+    )
+    info = F.when(
+        F.col("chembl_id").isNotNull(),
+        F.concat(
+            F.lit("https://www.ebi.ac.uk/chembl/compound_report_card/"),
+            F.col("chembl_id"),
+            F.lit("/"),
+        ),
+    )
     return dedup.select(
         F.lit("ChEMBL").alias("label"),
         F.col("pref_name").alias("key"),
-        F.when(F.col("pref_name").isNotNull(), F.initcap(F.lower("pref_name"))).alias(
-            "name"
-        ),
-        F.when(
-            F.col("chembl_id").isNotNull(),
-            F.concat(F.lit("chembl:"), F.col("chembl_id")),
-        ).alias("curie"),
+        name.alias("name"),
+        curie.alias("curie"),
+        props_map(name=name, curie=curie, info=info).alias("props"),
     )
 
 
@@ -180,6 +239,10 @@ def spark_source_nodes(
             F.col("spark_id").alias("key"),
             F.lit(None).cast("string").alias("name"),  # no name prop :97
             F.concat(F.lit("spark:"), F.col("spark_id")).alias("curie"),
+            props_map(
+                SMILES=F.col("smiles"),
+                curie=F.concat(F.lit("spark:"), F.col("spark_id")),
+            ).alias("props"),
         )
     )
 
@@ -187,19 +250,47 @@ def spark_source_nodes(
     known = chembl.select(F.col("curie").alias("kc")).filter(
         F.col("kc").isNotNull()
     ).withColumn("kid", F.regexp_replace("kc", "^chembl:", ""))
-    # rows whose chembl_id is NOT already a ChEMBL node -> new node :110-114
+    # rows whose chembl_id is NOT already a ChEMBL node -> new node :110-114;
+    # props: SMILES?, Spark ID, PubChem ID + pubchem info when pubchem_id
+    # notna, then the chembl curie/info overwrite (dict insert order :99-113)
+    pub_curie = F.when(
+        F.col("pubchem_id").isNotNull(),
+        F.concat(F.lit("pubchem:"), F.col("pubchem_id")),
+    )
+    chembl_info = F.concat(
+        F.lit("https://www.ebi.ac.uk/chembl/compound_report_card/"),
+        F.col("chembl_id"),
+        F.lit("/"),
+    )
     new_chembl = (
         with_chembl.join(
             F.broadcast(known), with_chembl["chembl_id"] == known["kid"], "left_anti"
         )
         .join(alias, "pubchem_id", "left")
+        .withColumn("nm", F.coalesce(F.col("synonym"), F.col("chembl_id")))  # :105,85
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nm").orderBy(F.col("spark_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)  # dict overwrite per name: last row wins
         .select(
             F.lit("ChEMBL").alias("label"),
-            F.coalesce(F.col("synonym"), F.col("chembl_id")).alias("key"),  # :105,85
-            F.coalesce(F.col("synonym"), F.col("chembl_id")).alias("name"),
+            F.col("nm").alias("key"),
+            F.col("nm").alias("name"),
             F.concat(F.lit("chembl:"), F.col("chembl_id")).alias("curie"),  # :111 normalized
+            props_map(
+                SMILES=F.col("smiles"),
+                **{
+                    "Spark ID": F.concat(F.lit("spark:"), F.col("spark_id")),
+                    "PubChem ID": pub_curie,
+                },
+                curie=F.concat(F.lit("chembl:"), F.col("chembl_id")),
+                info=chembl_info,
+                name=F.col("nm"),
+            ).alias("props"),
         )
-        .dropDuplicates(["key"])
     )
 
     pubchem_only = rows.filter(
@@ -219,9 +310,61 @@ def spark_source_nodes(
             F.col("pubchem_id").alias("key"),
             F.col("iupac_name").alias("name"),  # :117
             F.concat(F.lit("pubchem:"), F.col("pubchem_id")).alias("curie"),
+            props_map(
+                SMILES=F.col("smiles"),
+                **{"Spark ID": F.concat(F.lit("spark:"), F.col("spark_id"))},
+                name=F.col("iupac_name"),
+                curie=F.concat(F.lit("pubchem:"), F.col("pubchem_id")),
+                info=F.concat(
+                    F.lit("https://pubchem.ncbi.nlm.nih.gov/compound/"),
+                    F.col("pubchem_id"),
+                ),
+            ).alias("props"),
         )
     )
-    return {"SPARK": spark_nodes, "ChEMBL_new": new_chembl, "PubChem": pubchem_nodes}
+
+    # merge branch (:106-109): rows whose chembl_id IS a known ChEMBL node
+    # update that node's props in place. The reference registers ChEMBL
+    # nodes under the RAW pref_name but looks the merge target up by the
+    # TITLE-CASED name (chembl_to_node_map stores name.title()), so the
+    # merge only lands when the two coincide — we reproduce exactly that by
+    # joining the graft on the title-cased key; last row per key wins.
+    grafts = (
+        with_chembl.join(
+            F.broadcast(known), with_chembl["chembl_id"] == known["kid"], "left_semi"
+        )
+        .join(alias, "pubchem_id", "left")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("chembl_id").orderBy(F.col("spark_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("chembl_id").alias("graft_chembl_id"),
+            props_map(
+                SMILES=F.col("smiles"),
+                **{
+                    "Spark ID": F.concat(F.lit("spark:"), F.col("spark_id")),
+                    "PubChem ID": pub_curie,
+                },
+                info=F.when(
+                    F.col("pubchem_id").isNotNull(),
+                    F.concat(
+                        F.lit("https://pubchem.ncbi.nlm.nih.gov/compound/"),
+                        F.col("pubchem_id"),
+                    ),
+                ),
+            ).alias("graft_props"),
+        )
+    )
+    return {
+        "SPARK": spark_nodes,
+        "ChEMBL_new": new_chembl,
+        "PubChem": pubchem_nodes,
+        "ChEMBL_graft": grafts,
+    }
 
 
 def drugcentral_nodes(
@@ -249,6 +392,19 @@ def drugcentral_nodes(
             F.col("struct_id").alias("key"),  # keyed by drug_central id :177
             F.col("synonym").alias("name"),  # synonyms[0] :175
             F.concat(F.lit("pubchem:"), F.col("pubchem_id")).alias("curie"),
+            props_map(
+                curie=F.concat(F.lit("pubchem:"), F.col("pubchem_id")),
+                info=F.concat(
+                    F.lit("https://pubchem.ncbi.nlm.nih.gov/compound/"),
+                    F.col("pubchem_id"),
+                ),
+                **{
+                    "DrugCentral ID": F.concat(
+                        F.lit("drug.central:"), F.col("struct_id")
+                    )
+                },
+                name=F.col("synonym"),
+            ).alias("props"),
         )
         .dropDuplicates(["key"])
     )
@@ -259,6 +415,13 @@ def drugcentral_nodes(
             F.col("struct_id").alias("key"),
             F.col("drug_name").alias("name"),
             F.concat(F.lit("drug.central:"), F.col("struct_id")).alias("curie"),
+            props_map(
+                curie=F.concat(F.lit("drug.central:"), F.col("struct_id")),
+                info=F.concat(
+                    F.lit("https://drugcentral.org/drugcard/"), F.col("struct_id")
+                ),
+                name=F.col("drug_name"),
+            ).alias("props"),
         )
         .dropDuplicates(["key"])
     )
@@ -502,6 +665,46 @@ def build_reference_graph(
         .dropDuplicates(["label", "key"])
     )
 
+    # SPARK->ChEMBL property merge (src/sources.py:106-109): rows whose
+    # chembl_id is already a ChEMBL node update that node's props in place
+    # (Node.update == last-wins dict update, A4). The reference looks the
+    # target up by the TITLE-CASED name in a RAW-name-keyed dict, so the
+    # graft lands only where the two coincide — reproduced by joining on
+    # the node's title name.
+    id_to_title = chembl.filter(F.col("curie").isNotNull()).select(
+        F.regexp_replace("curie", "^chembl:", "").alias("gid"),
+        F.col("name").alias("target_key"),
+    )
+    graft = spark_branch["ChEMBL_graft"].join(
+        F.broadcast(id_to_title),
+        F.col("graft_chembl_id") == F.col("gid"),
+    ).select("target_key", "graft_props")
+    nodes = (
+        nodes.join(
+            F.broadcast(graft),
+            (nodes["label"] == "ChEMBL") & (nodes["key"] == graft["target_key"]),
+            "left",
+        )
+        .select(
+            "label",
+            "key",
+            "name",
+            "curie",
+            F.when(
+                F.col("graft_props").isNotNull(),
+                F.map_concat(
+                    F.map_filter(
+                        "props",
+                        lambda k, _: ~F.map_contains_key(F.col("graft_props"), k),
+                    ),
+                    F.col("graft_props"),
+                ),
+            )
+            .otherwise(F.col("props"))
+            .alias("props"),
+        )
+    )
+
     pathogen_keys = pathogen_nodes(pathogen).select(F.col("key").alias("pkey"))
     edges = (
         base_edges(person)
@@ -542,3 +745,185 @@ def build_reference_graph(
         )
     ).dropDuplicates()
     return {"nodes": nodes, "edges": edges, "triples": triples, "undirected": undirected}
+
+
+# ---------------------------------------------------------------------------
+# the standalone MIC subgraph ('micdata' db, src/mic-script.py:16-129)
+# ---------------------------------------------------------------------------
+
+def mic_graph(mic_doc: DataFrame) -> dict[str, DataFrame]:
+    """Replays the mic-script build: node families Bacteria / Chemical /
+    IC50 / Journal / Year and the per-row edge MULTISET (tx.create per
+    dataframe row, no dedup — src/mic-script.py:90-129).
+
+    mic_doc columns (all string, pandas dtype=str):
+      strain, chembl_id, name, pic50, assay_id, journal, year
+
+    Reference semantics mirrored:
+    - Chemical nodes from distinct (chembl_id, name) pairs keyed by NAME;
+      dict overwrite per name = last pair wins (:33-47). The reference's
+      'last' is input order; deterministic surrogate: max chembl_id.
+    - Journal nodes from pre-fillna uniques with NaN -> 'Assay test'
+      (:60-61); the fillna on the data happens AFTER node creation (:166),
+      so every row emits FOUND_IN and the 'Assay test' node exists exactly
+      when some row has a null journal.
+    - Year nodes only for notna years, and their property key is 'year',
+      not 'name' (:75-82).
+    - ASSAY_IN only when assay_id notna (with the assay_info URL prop,
+      :104-111); HAS_pIC50 / IN_YEAR only when the value is notna. The
+      reference also creates an IC50 node for a NaN pIC50 (:50-57); it is
+      unreachable by any edge and is not materialized here.
+    """
+    bacteria = mic_doc.select(F.col("strain").alias("key")).distinct().select(
+        F.lit("Bacteria").alias("label"),
+        "key",
+        F.col("key").alias("name"),
+        F.lit(None).cast("string").alias("curie"),
+        props_map(name=F.col("key")).alias("props"),
+    )
+    w = Window.partitionBy("name").orderBy(F.col("chembl_id").desc_nulls_last())
+    chemical = (
+        mic_doc.select("chembl_id", "name")
+        .dropDuplicates()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("Chemical").alias("label"),
+            F.col("name").alias("key"),
+            "name",
+            F.lit(None).cast("string").alias("curie"),
+            props_map(
+                chembl=F.when(
+                    F.col("chembl_id").isNotNull(),
+                    F.concat(
+                        F.lit("https://www.ebi.ac.uk/chembl/compound_report_card/"),
+                        F.col("chembl_id"),
+                        F.lit("/"),
+                    ),
+                ),
+                name=F.col("name"),
+            ).alias("props"),
+        )
+    )
+    ic50 = (
+        mic_doc.filter(F.col("pic50").isNotNull())
+        .select(F.col("pic50").alias("key"))
+        .distinct()
+        .select(
+            F.lit("IC50").alias("label"),
+            "key",
+            F.col("key").alias("name"),
+            F.lit(None).cast("string").alias("curie"),
+            props_map(name=F.col("key")).alias("props"),
+        )
+    )
+    journal = (
+        mic_doc.select(F.coalesce("journal", F.lit("Assay test")).alias("key"))
+        .distinct()
+        .select(
+            F.lit("Journal").alias("label"),
+            "key",
+            F.col("key").alias("name"),
+            F.lit(None).cast("string").alias("curie"),
+            props_map(name=F.col("key")).alias("props"),
+        )
+    )
+    year = (
+        mic_doc.filter(F.col("year").isNotNull())
+        .select(F.col("year").alias("key"))
+        .distinct()
+        .select(
+            F.lit("Year").alias("label"),
+            "key",
+            F.col("key").alias("name"),  # display name; the stored prop is 'year'
+            F.lit(None).cast("string").alias("curie"),
+            props_map(year=F.col("key")).alias("props"),
+        )
+    )
+    nodes = (
+        bacteria.unionByName(chemical)
+        .unionByName(ic50)
+        .unionByName(journal)
+        .unionByName(year)
+    )
+
+    no_props = F.create_map().cast("map<string,string>")
+
+    def edge(src_label, src_key, rel, dst_label, dst_key, cond, props):
+        return mic_doc.filter(cond).select(
+            F.lit(src_label).alias("src_label"),
+            src_key.alias("src_key"),
+            F.lit(rel).alias("rel"),
+            F.lit(dst_label).alias("dst_label"),
+            dst_key.alias("dst_key"),
+            props.alias("props"),
+        )
+
+    edges = (
+        edge(
+            "Bacteria",
+            F.col("strain"),
+            "ASSAY_IN",
+            "Chemical",
+            F.col("name"),
+            F.col("assay_id").isNotNull(),
+            props_map(
+                assay_info=F.concat(
+                    F.lit("https://www.ebi.ac.uk/chembl/assay_report_card/"),
+                    F.col("assay_id"),
+                    F.lit("/"),
+                )
+            ),
+        )
+        .unionByName(
+            edge(
+                "Chemical",
+                F.col("name"),
+                "HAS_pIC50",
+                "IC50",
+                F.col("pic50"),
+                F.col("pic50").isNotNull(),
+                no_props,
+            )
+        )
+        .unionByName(
+            edge(
+                "Chemical",
+                F.col("name"),
+                "FOUND_IN",
+                "Journal",
+                F.coalesce("journal", F.lit("Assay test")),
+                F.lit(True),
+                no_props,
+            )
+        )
+        .unionByName(
+            edge(
+                "Chemical",
+                F.col("name"),
+                "IN_YEAR",
+                "Year",
+                F.col("year"),
+                F.col("year").isNotNull(),
+                no_props,
+            )
+        )
+    )
+
+    src_n = nodes.select(
+        F.col("label").alias("src_label"),
+        F.col("key").alias("src_key"),
+        F.col("name").alias("subj"),
+    )
+    dst_n = nodes.select(
+        F.col("label").alias("dst_label"),
+        F.col("key").alias("dst_key"),
+        F.col("name").alias("obj"),
+    )
+    # MULTISET of (subj, pred, obj): joins on total node keys, no dedup
+    triples = (
+        edges.join(src_n, ["src_label", "src_key"])
+        .join(dst_n, ["dst_label", "dst_key"])
+        .select("subj", F.col("rel").alias("pred"), "obj")
+    )
+    return {"nodes": nodes, "edges": edges, "triples": triples}

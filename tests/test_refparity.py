@@ -93,7 +93,8 @@ STRAIN_ALIAS = [
 # pure-Python oracle (fresh reimplementation of the reference control flow)
 # ---------------------------------------------------------------------------
 
-def oracle_triples() -> set[tuple]:
+def oracle_graph() -> tuple[dict, set]:
+    """Returns ({(label, key): (name, curie, props_dict)}, triple set)."""
     nodes: dict[str, dict[str, tuple]] = {
         k: {} for k in
         ("Person", "Institute", "Project", "Pathogen", "Skill",
@@ -101,22 +102,37 @@ def oracle_triples() -> set[tuple]:
     }
     edges: list[tuple] = []  # (label, key, rel, label, key)
 
-    def put(label, key, name, curie):
-        nodes[label][key] = (name, curie)
+    def put(label, key, name, curie, props=None):
+        nodes[label][key] = (name, curie, props or {})
 
-    for contact, *_ in [(p[0],) for p in PERSON]:
-        put("Person", contact, contact, None)
-    for _, inst, _, _ in INSTITUTE:
-        put("Institute", inst, inst, None)
+    def clean(d):
+        return {k: v for k, v in d.items() if v is not None}
+
+    for contact, email, orcid, *_ in PERSON:
+        put("Person", contact, contact, None,
+            clean({"name": contact, "email": email, "orcid": orcid}))
+    for _, inst, link, _ in INSTITUTE:
+        put("Institute", inst, inst, None, clean({"name": inst, "link": link}))
     for _, proj in PROJECT:
-        put("Project", proj, proj, "imi:" + proj.lower())
+        curie = "imi:" + proj.lower()
+        put("Project", proj, proj, curie, {
+            "name": proj, "curie": curie,
+            "link": "https://www.imi.europa.eu/projects-results/project-factsheets/"
+                    + proj.lower()})
     interested = set()
     for pname, taxon in PATHOGEN:
         interested.update(pname.split(", "))
-        put("Pathogen", pname, pname, "ncbitaxon:" + taxon)
+        put("Pathogen", pname, pname, "ncbitaxon:" + taxon, {
+            "name": pname, "curie": "ncbitaxon:" + taxon,
+            "info": "https://www.ncbi.nlm.nih.gov/Taxonomy/Browser/wwwtax.cgi"
+                    "?mode=Info&id=" + taxon})
+    skill_def = {s[2]: s[3] for s in SKILL if s[3] is not None}
     skills = {s[2] for s in SKILL} | {s[1] + "_group" for s in SKILL}
     for s in skills:
-        put("Skill", s, s, None)
+        props = {"name": s}
+        if s in skill_def:
+            props["definition"] = skill_def[s]
+        put("Skill", s, s, None, props)
 
     # add_chembl: interested-filtered distinct (pref_name, chembl_id)
     chembl_ids_known = set()
@@ -125,7 +141,9 @@ def oracle_triples() -> set[tuple]:
         if strain not in interested or (pref, chid) in seen:
             continue
         seen.add((pref, chid))
-        put("ChEMBL", pref, pref.title(), "chembl:" + chid)
+        put("ChEMBL", pref, pref.title(), "chembl:" + chid, {
+            "name": pref.title(), "curie": "chembl:" + chid,
+            "info": f"https://www.ebi.ac.uk/chembl/compound_report_card/{chid}/"})
         chembl_ids_known.add(chid)
 
     alias = {a[0]: a for a in PUBCHEM_ALIAS}
@@ -142,17 +160,43 @@ def oracle_triples() -> set[tuple]:
         if chid is None and pub is None:
             if sid in nodes["SPARK"]:
                 continue
-            put("SPARK", sid, None, "spark:" + sid)
+            put("SPARK", sid, None, "spark:" + sid,
+                clean({"SMILES": smiles, "curie": "spark:" + sid}))
         elif chid is not None:
+            graft = clean({
+                "SMILES": smiles,
+                "Spark ID": "spark:" + sid,
+                "PubChem ID": "pubchem:" + pub if pub else None,
+                "info": f"https://pubchem.ncbi.nlm.nih.gov/compound/{pub}"
+                if pub else None,
+            })
             if chid in chembl_ids_known:
-                pass  # props merged into the existing node; triples unchanged
+                # Node.update via the TITLE-cased lookup (src/sources.py:106-109)
+                # — lands only when the registered raw key IS the title name
+                target = next(
+                    (k for k, v in nodes["ChEMBL"].items()
+                     if v[1] == "chembl:" + chid and k == v[0]), None
+                )
+                if target is not None:
+                    n, c, p = nodes["ChEMBL"][target]
+                    p = dict(p)
+                    p.update(graft)
+                    nodes["ChEMBL"][target] = (n, c, p)
             else:
                 name = alias[pub][1] if pub else chid
-                put("ChEMBL", name, name, "chembl:" + chid)
+                graft["curie"] = "chembl:" + chid  # reference emits 'chembl'+id
+                graft["info"] = (
+                    f"https://www.ebi.ac.uk/chembl/compound_report_card/{chid}/"
+                )
+                graft["name"] = name
+                put("ChEMBL", name, name, "chembl:" + chid, graft)
         else:
             if pub in nodes["PubChem"]:
                 continue
-            put("PubChem", pub, alias[pub][2], "pubchem:" + pub)
+            put("PubChem", pub, alias[pub][2], "pubchem:" + pub, clean({
+                "SMILES": smiles, "Spark ID": "spark:" + sid,
+                "name": alias[pub][2], "curie": "pubchem:" + pub,
+                "info": f"https://pubchem.ncbi.nlm.nih.gov/compound/{pub}"}))
 
     # add_drug_central
     mapper = dict(STRAIN_ALIAS)
@@ -164,9 +208,16 @@ def oracle_triples() -> set[tuple]:
         seen.add((dname, struct))
         cid = n2c.get(dname)
         if cid:
-            put("PubChem", struct, alias[cid][1], "pubchem:" + cid)
+            put("PubChem", struct, alias[cid][1], "pubchem:" + cid, {
+                "curie": "pubchem:" + cid,
+                "info": f"https://pubchem.ncbi.nlm.nih.gov/compound/{cid}",
+                "DrugCentral ID": "drug.central:" + struct,
+                "name": alias[cid][1]})
         else:
-            put("DrugCentral", struct, dname, "drug.central:" + struct)
+            put("DrugCentral", struct, dname, "drug.central:" + struct, {
+                "curie": "drug.central:" + struct,
+                "info": f"https://drugcentral.org/drugcard/{struct}",
+                "name": dname})
 
     # base edges
     for (contact, _, _, inst, p1, p2, g1, g2, g3, s1, s2, s3, _s4) in PERSON:
@@ -236,10 +287,13 @@ def oracle_triples() -> set[tuple]:
 
     triples = set()
     for sl, sk_, rel, dl, dk in edges:
-        sn, sc = nodes[sl][sk_]
-        on, oc = nodes[dl][dk]
+        sn, sc, _ = nodes[sl][sk_]
+        on, oc, _ = nodes[dl][dk]
         triples.add((sn, sc, rel, on, oc))
-    return triples
+    flat_nodes = {
+        (label, key): v for label, d in nodes.items() for key, v in d.items()
+    }
+    return flat_nodes, triples
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +333,7 @@ def test_reference_triple_parity(spark, ref_inputs):
         (r.subj, r.subj_curie, r.pred, r.obj, r.obj_curie)
         for r in out["triples"].collect()
     }
-    expected = oracle_triples()
+    _, expected = oracle_graph()
     tp = len(got & expected)
     precision = tp / len(got) if got else 0.0
     recall = tp / len(expected) if expected else 0.0
@@ -299,3 +353,83 @@ def test_undirected_export_doubles_triples(spark, ref_inputs):
     n_dir = out["triples"].count()
     n_undir = out["undirected"].count()
     assert n_dir < n_undir <= 2 * n_dir  # palindromic triples collapse
+
+
+def test_reference_node_props_parity(spark, ref_inputs):
+    """S8 dump-format parity: every node carries the reference's property
+    map (email/orcid/SMILES/definition/links/curies, only-if-notna), incl.
+    the SPARK->ChEMBL in-place property merge (src/sources.py:106-109)."""
+    from amr_kg_spark.refgraph import build_reference_graph
+
+    out = build_reference_graph(**ref_inputs)
+    got = {
+        (r.label, r.key): dict(r.props) for r in out["nodes"].collect()
+    }
+    expected_nodes, _ = oracle_graph()
+    expected = {lk: props for lk, (_, _, props) in expected_nodes.items()}
+    assert set(got) == set(expected), (
+        f"node keys differ: spark-only={sorted(set(got) - set(expected))[:6]} "
+        f"oracle-only={sorted(set(expected) - set(got))[:6]}"
+    )
+    diffs = {
+        lk: (got[lk], expected[lk]) for lk in expected if got[lk] != expected[lk]
+    }
+    assert not diffs, f"prop mismatches: {dict(list(diffs.items())[:4])}"
+
+
+# ---------------------------------------------------------------------------
+# the standalone mic-script subgraph ('micdata' db)
+# ---------------------------------------------------------------------------
+
+MIC_DOC = [
+    # strain, chembl_id, name, pic50, assay_id, journal, year
+    ("Escherichia coli", "C1", "DrugA", "7,4", "A1", "Nature", "2019"),
+    # same name, different id (Chemical dict overwrite), null pic50/journal/year
+    ("Escherichia coli", "C2", "DrugA", None, "A2", None, None),
+    # null assay -> no ASSAY_IN edge
+    ("Klebsiella pneumoniae", "C3", "DrugB", "5,0", None, "Nature", "2019"),
+    # exact duplicate row -> duplicate edges (tx.create per row, multiset!)
+    ("Klebsiella pneumoniae", "C3", "DrugB", "5,0", None, "Nature", "2019"),
+    ("Escherichia coli", None, "DrugC", "6,1", "A3", None, "2020"),
+]
+
+
+def mic_oracle():
+    """Replays /root/reference/src/mic-script.py:16-129 imperatively."""
+    from collections import Counter
+
+    triples = Counter()
+    for strain, chid, name, pic50, assay, journal, year in MIC_DOC:
+        journal = journal if journal is not None else "Assay test"  # :166
+        if assay is not None:
+            triples[(strain, "ASSAY_IN", name)] += 1
+        if pic50 is not None:
+            triples[(name, "HAS_pIC50", pic50)] += 1
+        triples[(name, "FOUND_IN", journal)] += 1  # post-fillna: every row
+        if year is not None:
+            triples[(name, "IN_YEAR", year)] += 1
+    return triples
+
+
+def test_mic_script_subgraph_parity(spark):
+    from collections import Counter
+
+    from amr_kg_spark.refgraph import mic_graph
+
+    mic_doc = spark.createDataFrame(
+        MIC_DOC,
+        "strain string, chembl_id string, name string, pic50 string, "
+        "assay_id string, journal string, year string",
+    )
+    out = mic_graph(mic_doc)
+    got = Counter((r.subj, r.pred, r.obj) for r in out["triples"].collect())
+    assert got == mic_oracle()
+
+    nodes = {(r.label, r.key): dict(r.props) for r in out["nodes"].collect()}
+    # Chemical dict-overwrite: DrugA's chembl prop comes from the later row
+    assert nodes[("Chemical", "DrugA")]["chembl"].endswith("/C2/")
+    # Journal fillna node exists; Year node carries 'year', not 'name'
+    assert ("Journal", "Assay test") in nodes
+    assert nodes[("Year", "2019")] == {"year": "2019"}
+    # null-chembl chemical has only the name prop
+    assert nodes[("Chemical", "DrugC")] == {"name": "DrugC"}
