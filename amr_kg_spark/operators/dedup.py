@@ -3,10 +3,14 @@
 Four families, each with a different cost/recall point:
 
 - exact:      hash groupBy on the full text — one shuffle, exact.
-- n-gram Jaccard: exact set-similarity via an inverted shingle index —
-  a join on shared shingles, so cost ~ sum(posting-list^2), not |docs|^2.
-- MinHash-LSH: approximate Jaccard with banding (pyspark.ml MinHashLSH) —
-  the 100 TB path; candidate pairs ~ linear in corpus size.
+- n-gram Jaccard: EXACT set-similarity via a prefix-filtered inverted
+  index (Vernica/Carey/Li, "Efficient Parallel Set-Similarity Joins Using
+  MapReduce", SIGMOD 2010) — candidates only from each doc's rare-first
+  prefix, so cost ~ sum(prefix-df^2) and hot shingles never enumerate.
+- MinHash-LSH: banded candidates (pyspark.ml MinHashLSH, or the
+  Catalyst-native banding in :func:`minhash_pairs_native`) + EXACT
+  rerank — the 100 TB path; candidate pairs ~ linear in corpus size and
+  the output equals the exact join whenever banding recall is 1.
 - SimHash:    64->32-bit locality-sensitive fingerprint from md5 token
   hashes — fully expressible in Catalyst (and in the DuckDB oracle),
   hamming-bucketable for near-dup blocking.

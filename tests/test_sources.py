@@ -24,6 +24,33 @@ def test_csv_iso8859_projection(spark):
         assert names == {"Tétracycline", "Pénicilline"}
 
 
+def test_jdbc_sqlite_scan(spark):
+    """S4 JDBC scan — runs only when a SQLite JDBC driver jar is present
+    (the sandbox ships none); otherwise asserts the gate raises clearly."""
+    import sqlite3
+
+    import pytest
+
+    from amr_kg_spark.sources.files import has_jdbc_driver, read_jdbc_sqlite
+
+    with tempfile.TemporaryDirectory() as d:
+        db = os.path.join(d, "chembl.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE activities (id INTEGER, val TEXT)")
+        con.executemany(
+            "INSERT INTO activities VALUES (?, ?)", [(1, "a"), (2, "b")]
+        )
+        con.commit()
+        con.close()
+        if not has_jdbc_driver(spark):
+            with pytest.raises(RuntimeError, match="JDBC driver"):
+                read_jdbc_sqlite(spark, db, "activities")
+            pytest.skip("no SQLite JDBC driver jar on classpath")
+        df = read_jdbc_sqlite(spark, db, "activities", partition_column="id",
+                              lower_bound=0, upper_bound=3, num_partitions=2)
+        assert {(r.id, r.val) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
 def test_tsv_roundtrip(spark):
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, "in.tsv")
