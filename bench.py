@@ -64,8 +64,14 @@ def main() -> None:
     _run(queries["kg_triples"](spark, sf_dir))
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # extra passes only while inside the time budget: a co-tenant slow
+    # window must not push the whole bench past the driver's timeout
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "240"))
+    bench_t0 = time.monotonic()
     times: dict[str, float] = {}
     for rep in range(max(1, repeats)):
+        if rep > 0 and time.monotonic() - bench_t0 > budget:
+            break
         for name in HEADLINE:
             t0 = time.monotonic()
             _run(queries[name](spark, sf_dir))
