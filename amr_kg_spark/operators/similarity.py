@@ -8,6 +8,11 @@
   signature bucket (multi-probe via hamming-1 neighbors optional), then
   exact rerank within candidates. The 100 TB path: the bucket join is a
   hash join on the signature, never |corpus| x |queries|.
+- ``ivf_topk``: inverted-file ANN — a KMeans coarse quantizer
+  (pyspark.ml) assigns every vector a cluster id; a query scans only the
+  ``n_probe`` clusters whose centroids are nearest. At scale the cluster
+  id is the table's partition key, so probing is partition pruning: a
+  query reads n_probe/n_clusters of the corpus from disk.
 
 Hyperplanes are generated from a seeded RNG on the driver and shipped as
 literals (they are tiny: R x dim floats).
@@ -65,6 +70,67 @@ def rhp_signature(vec_col: str, hyperplanes: np.ndarray) -> F.Column:
 def make_hyperplanes(dim: int, bits: int = 12, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
+
+
+def fit_ivf(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float = 1.0,
+):
+    """Fit the IVF coarse quantizer (KMeans) and return (model, assigned)
+    where ``assigned`` is the corpus with a ``cluster`` column. At 100 TB:
+    fit on a sample (``fit_fraction``), assign the full corpus, and write
+    the table partitioned by ``cluster`` so probes prune partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..session import fan_out
+
+    emb = fan_out(emb)
+    feats = emb.withColumn("__features", array_to_vector(F.col(vec_col)))
+    fit_df = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed)
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__features", predictionCol="cluster"
+    ).fit(fit_df)
+    assigned = model.transform(feats).drop("__features")
+    return model, assigned
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    model_and_assigned=None,
+) -> DataFrame:
+    """IVF ANN top-k: scan only the n_probe clusters nearest the query (by
+    centroid distance, computed on the driver — centroids are tiny), exact
+    cosine rerank within them. Pass ``model_and_assigned`` (from
+    :func:`fit_ivf`) to amortize the quantizer across queries — the
+    production pattern, where assignment happens once at ingest."""
+    if model_and_assigned is None:
+        model_and_assigned = fit_ivf(emb, n_clusters, vec_col, seed)
+    model, assigned = model_and_assigned
+
+    q = np.asarray(query_vec, dtype=float)
+    centers = model.clusterCenters()
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centers]
+    probes = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+
+    cands = assigned.filter(F.col("cluster").isin(probes))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
+    return (
+        cands.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
 
 
 def rhp_ann_topk(

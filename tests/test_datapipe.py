@@ -41,6 +41,51 @@ def test_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"ANN recall {recall} (exact={exact}, approx={approx})"
 
 
+def test_ivf_topk_recall_and_pruning(spark):
+    """IVF: top-k within the probed clusters only; finds the query vector
+    and a reasonable share of the true neighborhood, scanning a fraction
+    of the corpus."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    model_assigned = S.fit_ivf(emb, n_clusters=16)
+    _, assigned = model_assigned
+    exact = [r.vec_id for r in S.cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in S.ivf_topk(
+            emb, q, k=10, n_clusters=16, n_probe=4, model_and_assigned=model_assigned
+        ).collect()
+    ]
+    assert exact[0] == 0 and approx[0] == 0
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"IVF recall {recall} (exact={exact}, approx={approx})"
+    # the probe really prunes: every cluster holds < half the corpus
+    sizes = assigned.groupBy("cluster").count().collect()
+    total = sum(r["count"] for r in sizes)
+    assert len(sizes) > 4 and max(r["count"] for r in sizes) < total / 2
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """The anti-skew cap drops hot shingles from the universe consistently
+    (postings AND rerank sets): with a cap below the planted boilerplate's
+    document frequency, pairs that share only hot shingles disappear while
+    genuinely-near docs survive."""
+    rows = [(i, "common boilerplate header tokens " + ("alpha beta gamma " * 3 if i < 2 else f"unique{i} filler{i} text{i} words{i} "))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: docs 0 and 1 are near-identical; everyone shares the header
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (0, 1) in full
+    # cap below the header's df (20): header shingles drop out of the
+    # universe; (0,1) still match on their shared non-hot shingles
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in D.ngram_jaccard_pairs(
+                  docs, n=3, threshold=0.9, hot_shingle_cap=10).collect()}
+    assert (0, 1) in capped
+    assert set(capped) == {(0, 1)}
+
+
 def test_media_features_batch_shape(spark):
     media = M.synth_media(spark, SF_SMALL)
     feats = M.extract_features(media).collect()
