@@ -53,6 +53,30 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").option("sep", "\t").csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_col: str,
+    sort_col: str | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-bucketed by ``bucket_col``, optionally
+    sorted within buckets). The co-located-join primitive at 100 TB: two
+    tables bucketed the same way join WITHOUT an exchange on either side
+    (asserted in tests/test_plans.py) — the shuffle is paid once at write
+    time instead of on every join, the right trade for fact tables joined
+    repeatedly on the same key (conv_id for transcripts, doc_id for
+    documents/embeddings)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 SQLITE_JDBC_DRIVER = "org.sqlite.JDBC"
 
 

@@ -53,6 +53,35 @@ def test_wholestage_codegen_covers_agg(spark):
     assert "WholeStageCodegen" in executed or "*(1)" in executed
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key SMJ-join with
+    ZERO Exchange operators — the write-once-shuffle-never pattern for
+    repeatedly-joined fact tables at 100 TB."""
+    from amr_kg_spark.sources.files import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    write_bucketed(
+        docs, "b_docs", 4, "doc_id", sort_col="doc_id", path=str(tmp_path / "d")
+    )
+    write_bucketed(
+        emb.withColumnRenamed("vec_id", "doc_id"), "b_emb", 4, "doc_id",
+        sort_col="doc_id", path=str(tmp_path / "e"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_docs").join(spark.table("b_emb"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_emb")
+
+
 def test_kg_pipeline_has_no_python_row_udfs(spark):
     """The KG path may use Arrow pandas UDFs (ArrowEvalPython) but never a
     row-at-a-time BatchEvalPython."""
