@@ -160,8 +160,13 @@ def ngram_jaccard_pairs(
             F.count("*").over(wall).cast("int").alias("sz"),
         )
     )
+    # ceil(t*sz) must be the MATHEMATICAL ceiling: fp noise (t*sz =
+    # 7.000000000000001 for exact-integer products) would shorten the
+    # prefix by one slot and break the recall-1 theorem — round to 9dp
+    # before ceiling (epsilon-robust for any realistic t, sz)
     prefix = pos.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.round(F.col("sz") * F.lit(t), 9)) + 1
     ).select("id", "sz", "sh")
 
     a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh")
@@ -170,8 +175,10 @@ def ngram_jaccard_pairs(
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
+            # epsilon slack: a true pair at exactly Jaccard = t satisfies
+            # min >= t*max mathematically; keep it under fp rounding too
             F.least("sz_a", "sz_b").cast("double")
-            >= F.lit(t) * F.greatest("sz_a", "sz_b")
+            >= F.lit(t) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
         )
         .select("id_a", "id_b")
         .dropDuplicates()

@@ -77,6 +77,8 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(
@@ -88,11 +90,12 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 if not fake_decode:
                     decode_image(bytes(payload))  # raises NotImplementedError
                 b = bytes(payload)
-                hist = [0] * 8
-                for byte in b:
-                    hist[byte >> 5] += 1
+                # vectorized per-payload: this inner loop is the template a
+                # real extractor copies — it must be numpy, never per-byte
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr >> 5, minlength=8)
                 total = max(len(b), 1)
-                feats = [round(h / total, 6) for h in hist]
+                feats = [round(float(h) / total, 6) for h in hist]
                 rows.append(
                     (mid, kind, len(b), hashlib.sha256(b).hexdigest(), feats)
                 )

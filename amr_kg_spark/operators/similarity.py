@@ -50,10 +50,19 @@ def cosine_topk(
     emb = fan_out(emb)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return _topk_by_cosine(
+        emb.select(F.col(id_col).alias("vec_id"), cos.alias("_cos")), k
+    )
+
+
+def _topk_by_cosine(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k on the UNROUNDED cosine (tie-break vec_id), rounding only for
+    display — the oracle SQL orders by the unrounded expression, so rounding
+    before the sort could flip the k-boundary on 6dp ties."""
     return (
-        emb.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        scored.orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
         .limit(k)
+        .select("vec_id", F.round("_cos", 6).alias("cosine"))
     )
 
 
@@ -126,10 +135,8 @@ def ivf_topk(
     cands = assigned.filter(F.col("cluster").isin(probes))
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
-    return (
-        cands.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(k)
+    return _topk_by_cosine(
+        cands.select(F.col(id_col).alias("vec_id"), cos.alias("_cos")), k
     )
 
 
@@ -165,8 +172,6 @@ def rhp_ann_topk(
     cands = sigged.filter(F.col("sig").isin(probe_sigs))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
-    return (
-        cands.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(k)
+    return _topk_by_cosine(
+        cands.select(F.col(id_col).alias("vec_id"), cos.alias("_cos")), k
     )

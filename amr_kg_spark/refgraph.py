@@ -675,10 +675,26 @@ def build_reference_graph(
         F.regexp_replace("curie", "^chembl:", "").alias("gid"),
         F.col("name").alias("target_key"),
     )
-    graft = spark_branch["ChEMBL_graft"].join(
-        F.broadcast(id_to_title),
-        F.col("graft_chembl_id") == F.col("gid"),
-    ).select("target_key", "graft_props")
+    # two raw pref_names can title-case to the same target_key; the
+    # reference's dict holds ONE winner per key (last assignment wins), so
+    # dedup the graft frame deterministically — without this the left join
+    # below would duplicate the matched node row, breaking the
+    # one-row-per-(label,key) invariant of the preceding dropDuplicates
+    graft = (
+        spark_branch["ChEMBL_graft"]
+        .join(
+            F.broadcast(id_to_title),
+            F.col("graft_chembl_id") == F.col("gid"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("target_key").orderBy(F.col("gid").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("target_key", "graft_props")
+    )
     nodes = (
         nodes.join(
             F.broadcast(graft),

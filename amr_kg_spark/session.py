@@ -72,6 +72,41 @@ def stop_spark() -> None:
         active.stop()
 
 
+def _est_scan_partitions(df) -> int | None:
+    """Estimate the leaf scan's split count WITHOUT physical planning.
+
+    Uses the logical plan's file listing (``df.inputFiles()`` — a FileIndex
+    lookup, no job, no ``df.rdd`` conversion): splittable scans get
+    ~ceil(bytes / maxPartitionBytes) partitions, floored at one per file.
+    Returns None when the input is not file-backed or sizes are not locally
+    stat-able (remote FS) — callers should then trust the scan's own
+    splitting.
+    """
+    import math
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    try:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+    except Exception:
+        max_bytes = 134217728
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    return max(len(files), math.ceil(total / max_bytes))
+
+
 def fan_out(df, min_partitions: int | None = None):
     """Repartition a DataFrame UP to the session's parallelism when its scan
     has fewer partitions than cores — the sandbox's single small parquet
@@ -84,8 +119,13 @@ def fan_out(df, min_partitions: int | None = None):
     shuffle this performs on the small-file case moves only the raw input
     bytes (cheap by definition: the input was small enough to arrive in
     too-few splits).
+
+    The split probe is plan-free (file listing + local stat): the previous
+    ``df.rdd.getNumPartitions()`` probe forced an extra physical-planning
+    pass on the driver per call, measurable across a 50-query run.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _est_scan_partitions(df)
+    if est is not None and est < target:
         return df.repartition(target)
     return df

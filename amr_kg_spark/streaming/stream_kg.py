@@ -140,7 +140,13 @@ def run_available_now_foreach_batch(
     replayed with the SAME batch_id. Each batch therefore overwrites its
     own ``batch_id=<id>`` partition directory — a replay rewrites the same
     files instead of appending duplicates, making the sink idempotent
-    (the parquet stand-in for Iceberg's MERGE-by-batch-id pattern)."""
+    (the parquet stand-in for Iceberg's MERGE-by-batch-id pattern).
+
+    READ CONTRACT: because the stream is update-mode, a key updated in
+    several micro-batches appears once per batch directory, and a plain
+    ``spark.read.parquet(out_dir)`` sees every historical version plus a
+    ``batch_id`` partition column. Consumers must reduce to the latest
+    batch per key — use :func:`read_drained`."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
@@ -155,3 +161,20 @@ def run_available_now_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def read_drained(
+    spark: SparkSession, out_dir: str, key_cols: list[str]
+) -> DataFrame:
+    """Latest-batch-wins view over an update-mode foreachBatch sink: one row
+    per key, from the highest ``batch_id`` that emitted it — the read-side
+    half of :func:`run_available_now_foreach_batch`'s contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )

@@ -97,8 +97,10 @@ def test_stateful_conversation_state(spark):
         stream = read_transcript_stream(spark, ind, max_files_per_trigger=1)
         run_available_now_foreach_batch(stream_conversation_state(stream), outd, ckpt)
 
-        out = spark.read.parquet(outd)
-        # final state per conversation = total turns in the input
+        from amr_kg_spark.streaming.stream_kg import read_drained
+
+        # the documented read contract: latest-batch-wins per key
+        out = read_drained(spark, outd, ["conv_id"])
         import pyspark.sql.functions as F
         final = (
             out.groupBy("conv_id").agg(F.max("n_turns").alias("n")).collect()
