@@ -371,10 +371,13 @@ def embedding_neardup_pairs(
     cos = dot(F.col("v_a"), F.col("v_b")) / (
         F.sqrt(dot(F.col("v_a"), F.col("v_a"))) * F.sqrt(dot(F.col("v_b"), F.col("v_b")))
     )
+    # threshold on the UNROUNDED cosine (round only for display) — the
+    # oracle filters the unrounded expression, and a pair sitting exactly
+    # on the 6dp boundary must land the same way on both sides
     return (
-        joined.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        joined.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
 
 

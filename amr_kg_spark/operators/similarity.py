@@ -140,6 +140,76 @@ def ivf_topk(
     )
 
 
+def assign_fixed_centroids(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Assign every vector to its nearest fixed centroid — pure Catalyst
+    (argmin over literal centroid arrays via array_min on (dist, cid)
+    structs; struct ordering compares fields left-to-right so ties break on
+    the smaller cid). This is the production IVF pattern: the quantizer is
+    pretrained, assignment happens at ingest, and the cluster id becomes
+    the table's partition key."""
+
+    def l2sq(c: list[float]) -> F.Column:
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                carr,
+                lambda p, q: (p.cast("double") - q) * (p.cast("double") - q),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(l2sq(c).alias("d"), F.lit(int(cid)).alias("cid"))
+                for cid, c in centroids
+            ]
+        )
+    )
+    return emb.withColumn(out, best["cid"])
+
+
+def ivf_topk_pretrained(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a FIXED (pretrained) coarse quantizer: Catalyst
+    assignment (:func:`assign_fixed_centroids`), driver-side probe
+    selection over the tiny centroid list, exact cosine rerank inside the
+    probed clusters. Unlike :func:`ivf_topk` (KMeans-fitted), every step
+    is deterministic and replicable in ANSI SQL, so the driver oracle can
+    value-check the bucketing, probing and rerank."""
+    from ..session import fan_out
+
+    emb = fan_out(emb)
+    q = np.asarray(query_vec, dtype=float)
+    scored = sorted(
+        (float(np.sum((q - np.asarray(c, dtype=float)) ** 2)), int(cid))
+        for cid, c in centroids
+    )
+    probes = [cid for _, cid in scored[:n_probe]]
+
+    assigned = assign_fixed_centroids(emb, centroids, vec_col)
+    cands = assigned.filter(F.col("cluster").isin(probes))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
+    return _topk_by_cosine(
+        cands.select(F.col(id_col).alias("vec_id"), cos.alias("_cos")), k
+    )
+
+
 def rhp_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -55,8 +55,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from amr_kg_spark.queries import all_queries
+    from amr_kg_spark.queries.datapipe import q_minhash_native
 
     queries, _ = all_queries()
+    # benched standalone; its driver-registry surface lives inside the
+    # merged dp_minhash_pairs row
+    queries["dp_minhash_native"] = q_minhash_native
     spark = get_spark(app_name="amr-kg-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 

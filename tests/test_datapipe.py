@@ -136,3 +136,45 @@ def test_minhash_native_matches_exact_with_high_recall(spark):
         assert v == exact[k]
     recall = len(native) / len(exact)
     assert recall >= 0.8, f"native banding recall {recall}"
+
+
+def test_fixture_jaccard_margin_guard():
+    """The value-oracle equality for the banded MinHash rows (dp_minhash_pairs:
+    ml threshold 0.2 / 8 tables, native threshold 0.5 / r=2,b=16) holds only
+    while no doc pair sits in the recall-risky Jaccard band where a banding
+    miss is non-negligible. Nothing in the derivation enforces that margin,
+    so codify it: the testdata's pair distribution must stay bimodal —
+    everything below 0.1 or above 0.85 (measured gap: <=0.07 vs >=0.888).
+    Pure DuckDB — fails loudly if a fixture change erodes the margin."""
+    import duckdb
+
+    from amr_kg_spark.queries.datapipe import _exact_jaccard_sql
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet'"
+        )
+        risky = [
+            r
+            for r in con.sql(_exact_jaccard_sql(0.1)).fetchall()
+            if r[2] < 0.85
+        ]
+        assert not risky, f"sf{sf}: pairs inside the recall-risky band: {risky}"
+
+
+def test_ivf_pretrained_full_probe_equals_bruteforce(spark):
+    """With n_probe == n_clusters the pretrained-quantizer IVF must return
+    exactly the brute-force cosine top-k (pruning disabled => exact)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    )
+    full = S.ivf_topk_pretrained(emb, q, cents, k=5, n_probe=8).collect()
+    brute = S.cosine_topk(emb, q, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == [
+        (r.vec_id, r.cosine) for r in brute
+    ]
