@@ -94,6 +94,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
+def _prefix_len(sz: F.Column, t: float) -> F.Column:
+    """Prefix length ``sz - ceil(t*sz) + 1``. The ceil must be the
+    MATHEMATICAL ceiling: fp noise (t*sz = 7.000000000000001 for
+    exact-integer products) would shorten the prefix by one slot and break
+    the recall-1 theorem — round to 9dp before ceiling (epsilon-robust for
+    any realistic t, sz)."""
+    return sz - F.ceil(F.round(sz * F.lit(t), 9)) + 1
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -101,6 +110,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hot_shingle_cap: int | None = None,
+    order: str = "hash",
 ) -> DataFrame:
     """EXACT n-gram Jaccard-similar pairs via a prefix-filtered inverted
     index (the MapReduce set-similarity join of Vernica/Carey/Li, SIGMOD'10
@@ -108,66 +118,93 @@ def ngram_jaccard_pairs(
 
     Plan:
       1. shingle + xxhash64 each doc (shuffle payload = longs, not strings);
-      2. global rare-first shingle order = (document frequency, hash);
+      2. pick a GLOBAL TOTAL ORDER of the shingle universe (see ``order``);
       3. index ONLY each doc's prefix — the first ``sz - ceil(t*sz) + 1``
          shingles in that order. Theorem: two sets with Jaccard >= t must
-         share a prefix element, so candidate recall is exactly 1 while the
-         hot (high-df) shingles that cause the quadratic pair blow-up sort
-         to the END of the order and drop out of most prefixes;
+         share a prefix element — and the theorem holds for ANY global
+         total order, so candidate recall is exactly 1 either way;
       4. candidate pairs = prefix self-join + length filter
          (min_sz >= t * max_sz, a Jaccard necessary condition);
       5. exact rerank: array_intersect on the full per-doc shingle sets.
 
-    Every step is linear in the corpus except the prefix self-join, whose
-    size is sum(prefix-df^2) — bounded by construction, not by luck. The
-    optional ``hot_shingle_cap`` additionally drops shingles with
-    df > cap from the universe (an approximation knob for adversarial
-    corpora; default off so results match the exact oracle). The cap list
-    is tiny by construction (it is the blocked list, NOT the keep list) and
-    is applied via a broadcast left_anti join.
+    ``order`` picks the prefix order, a pure performance knob:
 
-    The shingled base table is localCheckpoint'ed (eager): it feeds three
-    downstream branches (df counts, prefix index, exact rerank) and, left
-    lazy, Spark's broadcast-subquery futures re-derive it from the raw scan
-    — measured 2-4x the whole query's wall at sf0.1. On a cluster the
-    equivalent is persisting the tokenized corpus before the join, standard
-    for multi-pass set-similarity plans.
+    - ``"hash"`` (default): the xxhash64 value itself — the prefix is a
+      per-row ``slice(array_sort(hs))``, needing NO df aggregation, NO
+      join and NO window (measured 13.5s -> 7.8s at sf0.1). Right when
+      shingle document-frequency is near-uniform (natural-text n-grams:
+      almost all shingles are rare).
+    - ``"frequency"``: the classic rare-first (df, hash) order — costs a
+      df groupBy, a join and a window pass, but hot shingles sort to the
+      END of the order and drop out of most prefixes, minimizing the
+      candidate join (sum over prefix shingles of df^2). Right for
+      heavy-tailed/adversarial corpora (boilerplate, templates).
+
+    The optional ``hot_shingle_cap`` additionally drops shingles with
+    df > cap from the universe (an approximation knob for adversarial
+    corpora; default off so results match the exact oracle; implies
+    ``order="frequency"``). The cap list is tiny by construction (it is
+    the blocked list, NOT the keep list) and is applied via a broadcast
+    left_anti join.
+
+    The shingled base table is localCheckpoint'ed (eager): it feeds
+    several downstream branches (prefix index, both exact-rerank sides,
+    and for "frequency" the df counts) and, left lazy, Spark's
+    broadcast-subquery futures re-derive it from the raw scan — measured
+    2-4x the whole query's wall at sf0.1. On a cluster the equivalent is
+    persisting the tokenized corpus before the join, standard for
+    multi-pass set-similarity plans (a config point: executor-local
+    checkpoint blocks are lost on executor failure; production swaps this
+    for reliable checkpoint / a persisted table).
     """
     t = float(threshold)
+    if hot_shingle_cap is not None:
+        order = "frequency"
     base = (
         with_word_shingles(docs, text_col, n, out="__sh", hashed=True)
         .select(F.col(id_col).alias("id"), F.col("__sh").alias("hs"))
         .filter(F.size("hs") > 0)
         .localCheckpoint()
     )
-    sh = base.select("id", F.explode("hs").alias("sh"))
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    if hot_shingle_cap is not None:
-        blocked = dfreq.filter(F.col("df") > hot_shingle_cap).select("sh")
-        sh = sh.join(F.broadcast(blocked), "sh", "left_anti")
-        dfreq = dfreq.filter(F.col("df") <= hot_shingle_cap)
 
-    # rare-first position of each shingle within its doc + doc set size,
-    # one window pass (single shuffle on id, single sort)
-    w = Window.partitionBy("id").orderBy("df", "sh")
-    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    pos = (
-        sh.join(dfreq, "sh")
-        .select(
+    if order == "hash":
+        sz = F.size("hs")
+        prefix = base.select(
+            "id",
+            sz.alias("sz"),
+            F.explode(F.slice(F.array_sort("hs"), 1, _prefix_len(sz, t))).alias(
+                "sh"
+            ),
+        )
+        sets = base.select("id", "hs")
+    else:
+        sh = base.select("id", F.explode("hs").alias("sh"))
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        if hot_shingle_cap is not None:
+            blocked = dfreq.filter(F.col("df") > hot_shingle_cap).select("sh")
+            sh = sh.join(F.broadcast(blocked), "sh", "left_anti")
+            dfreq = dfreq.filter(F.col("df") <= hot_shingle_cap)
+
+        # rare-first position of each shingle within its doc + doc set
+        # size, one window pass (single shuffle on id, single sort)
+        w = Window.partitionBy("id").orderBy("df", "sh")
+        wall = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        pos = sh.join(dfreq, "sh").select(
             "id",
             "sh",
             F.row_number().over(w).alias("pos"),
             F.count("*").over(wall).cast("int").alias("sz"),
         )
-    )
-    # ceil(t*sz) must be the MATHEMATICAL ceiling: fp noise (t*sz =
-    # 7.000000000000001 for exact-integer products) would shorten the
-    # prefix by one slot and break the recall-1 theorem — round to 9dp
-    # before ceiling (epsilon-robust for any realistic t, sz)
-    prefix = pos.filter(
-        F.col("pos")
-        <= F.col("sz") - F.ceil(F.round(F.col("sz") * F.lit(t), 9)) + 1
-    ).select("id", "sz", "sh")
+        prefix = pos.filter(
+            F.col("pos") <= _prefix_len(F.col("sz"), t)
+        ).select("id", "sz", "sh")
+        if hot_shingle_cap is not None:
+            # capped universe: rebuild per-doc sets from filtered postings
+            sets = sh.groupBy("id").agg(F.collect_list("sh").alias("hs"))
+        else:
+            sets = base.select("id", "hs")
 
     a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh")
     b = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh")
@@ -183,11 +220,6 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    if hot_shingle_cap is not None:
-        # capped universe: rebuild per-doc sets from the filtered postings
-        sets = sh.groupBy("id").agg(F.collect_list("sh").alias("hs"))
-    else:
-        sets = base.select("id", "hs")
     paired = cands.join(
         sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
     ).join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")

@@ -94,13 +94,15 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure Catalyst plan: parquet scan -> 4 broadcast-able literal-table joins
     -> projection. At production scale the real input is
-    ``spark.read.table('catalog.db.transcripts')`` instead. The scan is
-    fanned out to the session's parallelism (no-op on real multi-split
-    inputs) so the text-heavy downstream stages use every core.
-    """
-    from .session import fan_out
+    ``spark.read.table('catalog.db.transcripts')`` instead.
 
-    fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")).createOrReplaceTempView(
+    Deliberately NOT fanned out here: compute-dense consumers (mention
+    detection) fan out themselves, while shuffle-first consumers
+    (reconstruction/sessionization) repartition by conv_id anyway — a
+    blanket fan_out at the source made kg_reconstruct ~1.8x slower at
+    sf0.1 (A/B, min-of-3) for zero benefit.
+    """
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
     cte = _fix_dialect(transcripts_cte("spark"), "spark")

@@ -178,3 +178,19 @@ def test_ivf_pretrained_full_probe_equals_bruteforce(spark):
     assert [(r.vec_id, r.cosine) for r in full] == [
         (r.vec_id, r.cosine) for r in brute
     ]
+
+
+def test_ngram_prefix_order_invariance(spark):
+    """The prefix-filter theorem holds for ANY global total order, so the
+    hash-order and rare-first-frequency-order plans must produce identical
+    exact results."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    h = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, order="hash").collect()
+    }
+    f = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, order="frequency").collect()
+    }
+    assert h == f and len(h) > 0
