@@ -943,3 +943,133 @@ def mic_graph(mic_doc: DataFrame) -> dict[str, DataFrame]:
         .select("subj", F.col("rel").alias("pred"), "obj")
     )
     return {"nodes": nodes, "edges": edges, "triples": triples}
+
+
+# ---------------------------------------------------------------------------
+# golden-dump export (S8 format: the reference's APOC-style ragged CSV,
+# /root/reference/data/dump/v1.0.csv:1 — node rows then edge rows in ONE
+# file, node property columns + _start/_end/_type edge columns)
+# ---------------------------------------------------------------------------
+
+DUMP_EDGE_PROPS = ["ChEMBL Assay", "DOI", "Literature", "MIC"]
+
+
+def graph_dump(
+    nodes: DataFrame,
+    edges: DataFrame,
+    edge_prop_cols: list[str] | None = None,
+) -> DataFrame:
+    """The dump as ONE DataFrame in the reference's column discipline:
+
+      _id,_labels,<node prop cols...>,_start,_end,_type,<edge prop cols...>
+
+    - node rows: ``_id`` (dense, deterministic by (label, key) order),
+      ``_labels`` = ``:Label``, one column per property key (union over
+      the graph, case-sensitively sorted like the reference header), edge
+      columns null;
+    - edge rows: node columns null, ``_start``/``_end`` resolved to node
+      ids, ``_type`` = rel, edge property columns (from an optional
+      ``props`` map on the edges frame; the base graph's edges carry
+      none, matching empty cells).
+
+    The dense id needs a global row_number — a single-partition sort.
+    That is the right call HERE: the dump is a compatibility artifact
+    over the curated graph dimensions (thousands of rows); the 100 TB
+    fact tables leave through the table/parquet sinks, never this one.
+    """
+    prop_keys = sorted(
+        {
+            r[0]
+            for r in nodes.select(
+                F.explode(F.map_keys("props")).alias("k")
+            ).distinct().collect()
+        }
+        | {"name"}
+    )
+    eprops = edge_prop_cols or DUMP_EDGE_PROPS
+
+    w = Window.orderBy("label", "key")
+    ided = nodes.withColumn("_id", F.row_number().over(w) - F.lit(1))
+
+    node_rows = ided.select(
+        F.col("_id").cast("string").alias("_id"),
+        F.concat(F.lit(":"), F.col("label")).alias("_labels"),
+        *[
+            (
+                F.coalesce(F.element_at("props", k), F.col("name"))
+                if k == "name"
+                else F.element_at("props", F.lit(k))
+            ).alias(k)
+            for k in prop_keys
+        ],
+        F.lit(None).cast("string").alias("_start"),
+        F.lit(None).cast("string").alias("_end"),
+        F.lit(None).cast("string").alias("_type"),
+        *[F.lit(None).cast("string").alias(c) for c in eprops],
+        F.lit(0).alias("_kind"),
+        F.col("label").alias("_s1"),
+        F.col("key").alias("_s2"),
+    )
+
+    ids = ided.select("label", "key", "_id")
+    has_eprops = "props" in edges.columns
+    edge_rows = (
+        edges.join(
+            ids.select(
+                F.col("label").alias("src_label"),
+                F.col("key").alias("src_key"),
+                F.col("_id").alias("_start_id"),
+            ),
+            ["src_label", "src_key"],
+        )
+        .join(
+            ids.select(
+                F.col("label").alias("dst_label"),
+                F.col("key").alias("dst_key"),
+                F.col("_id").alias("_end_id"),
+            ),
+            ["dst_label", "dst_key"],
+        )
+        .select(
+            F.lit(None).cast("string").alias("_id"),
+            F.lit(None).cast("string").alias("_labels"),
+            *[F.lit(None).cast("string").alias(k) for k in prop_keys],
+            F.col("_start_id").cast("string").alias("_start"),
+            F.col("_end_id").cast("string").alias("_end"),
+            F.col("rel").alias("_type"),
+            *[
+                (
+                    F.element_at("props", F.lit(c))
+                    if has_eprops
+                    else F.lit(None).cast("string")
+                ).alias(c)
+                for c in eprops
+            ],
+            F.lit(1).alias("_kind"),
+            F.col("rel").alias("_s1"),
+            F.concat_ws(
+                "->", F.col("_start_id").cast("string"),
+                F.col("_end_id").cast("string")
+            ).alias("_s2"),
+        )
+    )
+    return (
+        node_rows.unionByName(edge_rows)
+        .orderBy("_kind", "_s1", "_s2")
+        .drop("_kind", "_s1", "_s2")
+    )
+
+
+def write_graph_dump(
+    nodes: DataFrame, edges: DataFrame, out_dir: str
+) -> None:
+    """Write the dump as one header'd CSV file (coalesce(1): the golden
+    dump is by definition a single diffable file)."""
+    (
+        graph_dump(nodes, edges)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("emptyValue", "")
+        .csv(out_dir)
+    )

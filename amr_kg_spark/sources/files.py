@@ -78,6 +78,7 @@ def write_bucketed(
 
 
 SQLITE_JDBC_DRIVER = "org.sqlite.JDBC"
+DERBY_JDBC_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"  # ships with Spark
 
 
 def has_jdbc_driver(spark: SparkSession, driver: str = SQLITE_JDBC_DRIVER) -> bool:
@@ -87,6 +88,77 @@ def has_jdbc_driver(spark: SparkSession, driver: str = SQLITE_JDBC_DRIVER) -> bo
         return True
     except Exception:
         return False
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Generic JDBC table scan (S4). Filters and projections composed on
+    the returned DataFrame push down INTO the database query
+    (``PushedFilters`` on the JDBC scan node — asserted in
+    tests/test_sources.py against the Derby engine Spark ships, the one
+    JDBC database this sandbox can actually execute). The partitioned-read
+    options split the scan across executors instead of one driver-side
+    cursor — the scale path for a big source table."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000))
+        )
+    return reader.load()
+
+
+def chembl_assay_query(
+    molecule_dictionary: DataFrame,
+    activities: DataFrame,
+    assays: DataFrame,
+) -> DataFrame:
+    """The reference's ChEMBL extraction (src/get_chembl_data.py:18-41) as
+    a declarative plan over the three source tables, storage-agnostic: fed
+    JDBC scans, the equality conjuncts and null guards push down into the
+    database; fed parquet, into the parquet reader. Two equi-joins +
+    5-conjunct filter + projection, exactly the reference's SQL."""
+    from pyspark.sql import functions as F
+
+    return (
+        molecule_dictionary.join(activities, "molregno")
+        .join(
+            assays,
+            activities["assay_id"] == assays["assay_id"],
+        )
+        .filter(
+            (assays["assay_type"] == "F")
+            & F.col("standard_value").isNotNull()
+            & F.col("standard_relation").isNotNull()
+            & (F.col("standard_relation") == "=")
+            & (F.col("standard_type") == "MIC")
+        )
+        .select(
+            "pref_name",
+            F.col("molregno").alias("chembl_id"),
+            "standard_relation",
+            "standard_type",
+            "standard_value",
+            "standard_units",
+            assays["assay_organism"].alias("strain"),
+            assays["chembl_id"].alias("assay_chembl_id"),
+        )
+    )
 
 
 def read_jdbc_sqlite(
@@ -113,20 +185,16 @@ def read_jdbc_sqlite(
             "no SQLite JDBC driver on the classpath; add e.g. "
             "--packages org.xerial:sqlite-jdbc (sandbox ships none)"
         )
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", f"jdbc:sqlite:{db_path}")
-        .option("dbtable", table)
-        .option("driver", SQLITE_JDBC_DRIVER)
+    return read_jdbc(
+        spark,
+        f"jdbc:sqlite:{db_path}",
+        table,
+        SQLITE_JDBC_DRIVER,
+        partition_column,
+        num_partitions,
+        lower_bound,
+        upper_bound,
     )
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound or 0))
-            .option("upperBound", str(upper_bound or 1_000_000))
-        )
-    return reader.load()
 
 
 def write_parquet_table(

@@ -433,3 +433,70 @@ def test_mic_script_subgraph_parity(spark):
     assert nodes[("Year", "2019")] == {"year": "2019"}
     # null-chembl chemical has only the name prop
     assert nodes[("Chemical", "DrugC")] == {"name": "DrugC"}
+
+
+def test_graph_dump_structural_parity(spark, ref_inputs, tmp_path):
+    """S8 golden-dump FORMAT: the exported CSV must have the reference
+    dump's ragged structure (/root/reference/data/dump/v1.0.csv:1) — one
+    file, header = _id,_labels,<props...>,_start,_end,_type,<edge props>,
+    node rows then edge rows, mutually-exclusive column groups, edge
+    endpoints resolving to node ids — and round-trip to the same graph."""
+    import csv
+    import glob
+
+    from amr_kg_spark.refgraph import build_reference_graph, write_graph_dump
+
+    out = build_reference_graph(**ref_inputs)
+    d = str(tmp_path / "dump")
+    write_graph_dump(out["nodes"], out["edges"], d)
+
+    files = glob.glob(f"{d}/part-*.csv")
+    assert len(files) == 1, "golden dump must be a single diffable file"
+    with open(files[0], newline="") as f:
+        rows = list(csv.reader(f))
+    hdr, body = rows[0], rows[1:]
+
+    # header discipline
+    assert hdr[0] == "_id" and hdr[1] == "_labels"
+    i_start = hdr.index("_start")
+    assert hdr[i_start : i_start + 3] == ["_start", "_end", "_type"]
+    assert set(hdr[i_start + 3 :]) == {"ChEMBL Assay", "DOI", "Literature", "MIC"}
+    assert "name" in hdr[2:i_start]
+
+    def val(r, c):
+        return r[hdr.index(c)]
+
+    node_rows = [r for r in body if val(r, "_labels")]
+    edge_rows = [r for r in body if not val(r, "_labels")]
+    # ragged discipline: node rows carry no edge cols, edge rows no node cols
+    assert all(not val(r, "_type") and not val(r, "_start") for r in node_rows)
+    assert all(not val(r, "_id") for r in edge_rows)
+    assert all(val(r, "_start") and val(r, "_end") and val(r, "_type") for r in edge_rows)
+    # nodes first, then edges (the reference file layout)
+    kinds = [bool(val(r, "_labels")) for r in body]
+    assert kinds == sorted(kinds, reverse=True)
+
+    # counts + label/type multisets match the graph
+    assert len(node_rows) == out["nodes"].count()
+    assert len(edge_rows) == out["edges"].count()
+    import collections
+    got_labels = collections.Counter(val(r, "_labels") for r in node_rows)
+    want_labels = collections.Counter(
+        ":" + r.label for r in out["nodes"].collect()
+    )
+    assert got_labels == want_labels
+    got_types = collections.Counter(val(r, "_type") for r in edge_rows)
+    want_types = collections.Counter(r.rel for r in out["edges"].collect())
+    assert got_types == want_types
+
+    # every endpoint resolves to an emitted node id
+    ids = {val(r, "_id") for r in node_rows}
+    assert all(
+        val(r, "_start") in ids and val(r, "_end") in ids for r in edge_rows
+    )
+
+    # props land in their columns: at least one Person row carries email
+    persons = [r for r in node_rows if val(r, "_labels") == ":Person"]
+    assert persons and any(val(r, "email") for r in persons)
+    # (not all: the reference dump also carries name-less node rows)
+    assert any(val(r, "name") for r in node_rows)

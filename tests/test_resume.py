@@ -80,3 +80,62 @@ def test_pipeline_with_canonicalization_stage(spark):
         )
         assert d["nodes"].filter("merged_from > 1").count() == 0
         assert d["edges"].count() > 0
+
+
+def test_catalog_runner_resume_and_partition_overwrite(spark):
+    """S5 on the session catalog: commit-log resume semantics, crash-before-
+    commit recovery, and idempotent overwrite-by-partition with version
+    bumps (the Iceberg snapshot protocol on the sandbox catalog)."""
+    import pyspark.sql.functions as F
+
+    from amr_kg_spark.lineage import CatalogStageRunner
+
+    t = synth_transcripts(spark, n_turns=800, n_convs=10)
+    db = "amr_stages_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    with tempfile.TemporaryDirectory() as loc:
+        runner = CatalogStageRunner(spark, database=db, run_id="r1", location=loc)
+
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return t.withColumn("part", (F.col("turn_idx") % 3).cast("int"))
+
+        out1 = runner.run("turns", build, partition_by=["part"])
+        n1 = out1.count()
+        assert calls["n"] == 1 and runner.is_committed("turns")
+        assert runner.committed_version("turns") == 1
+
+        # resume: committed stage read back, never recomputed
+        out2 = runner.run("turns", build, partition_by=["part"])
+        assert calls["n"] == 1 and out2.count() == n1
+
+        # crash-before-commit: data written, no commit row -> the stage is
+        # NOT committed; a resumed run recomputes idempotently (partition
+        # overwrite replaces, never appends)
+        crashed = CatalogStageRunner(
+            spark, database=db, run_id="crash", location=loc
+        )
+        assert crashed.is_committed("uncommitted_stage") is False
+        build().write.mode("overwrite").format("parquet").saveAsTable(
+            f"{db}.orphan"
+        )
+        calls["n"] -= 1  # that write was the simulated crash, not a build
+        assert spark.catalog.tableExists(f"{db}.orphan")
+        assert not crashed.is_committed("orphan"), (
+            "table existence must never imply committed"
+        )
+
+        # force: re-materialize a committed stage as a NEW version; dynamic
+        # partition overwrite keeps the row count stable (no duplicates)
+        out3 = runner.run("turns", build, partition_by=["part"], force=True)
+        assert calls["n"] == 2
+        assert out3.count() == n1, "partition overwrite must not duplicate rows"
+        assert runner.committed_version("turns") == 2
+
+        # lineage rows carry the snapshot version they audited
+        lin = runner.lineage()
+        vers = {r.version for r in lin.filter(F.col("stage") == "turns").collect()}
+        assert vers == {1, 2}
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -61,3 +61,99 @@ def test_tsv_roundtrip(spark):
         write_tsv(df, out)
         back = read_tsv(spark, out)
         assert {tuple(r) for r in back.collect()} == {("A", "r", "B"), ("C", "s", "D")}
+
+
+def test_jdbc_derby_chembl_extraction_with_pushdown(spark):
+    """S4 executed FOR REAL: Spark ships the Derby JDBC engine, so the
+    get_chembl_data.py-shaped job (2 equi-joins + 5-conjunct filter over
+    MOLECULE_DICTIONARY/ACTIVITIES/ASSAYS) runs end-to-end through
+    spark.read.jdbc — with the conjuncts pushed into the database scan
+    (PushedFilters asserted on the JDBC node)."""
+    from amr_kg_spark.sources.files import (
+        DERBY_JDBC_DRIVER,
+        chembl_assay_query,
+        has_jdbc_driver,
+        read_jdbc,
+    )
+
+    assert has_jdbc_driver(spark, DERBY_JDBC_DRIVER)
+
+    with tempfile.TemporaryDirectory() as d:
+        url = f"jdbc:derby:{d}/chembl;create=true"
+        jvm = spark._jvm
+        con = jvm.java.sql.DriverManager.getConnection(url)
+        st = con.createStatement()
+        st.executeUpdate(
+            "CREATE TABLE molecule_dictionary "
+            "(molregno INT, pref_name VARCHAR(64))"
+        )
+        st.executeUpdate(
+            "CREATE TABLE activities (molregno INT, assay_id INT, "
+            "standard_relation VARCHAR(8), standard_type VARCHAR(16), "
+            "standard_value DOUBLE, standard_units VARCHAR(16))"
+        )
+        st.executeUpdate(
+            "CREATE TABLE assays (assay_id INT, assay_type VARCHAR(4), "
+            "assay_organism VARCHAR(64), chembl_id VARCHAR(32))"
+        )
+        rows_md = [(1, "Ampicillin"), (2, "Tetracycline"), (3, "Phantom")]
+        rows_act = [
+            # survives every conjunct
+            (1, 10, "=", "MIC", 0.5, "ug.mL-1"),
+            (2, 11, "=", "MIC", 2.0, "ug.mL-1"),
+            # killed by: relation '>', type IC50, null value, assay_type 'B'
+            (1, 10, ">", "MIC", 1.0, "ug.mL-1"),
+            (2, 11, "=", "IC50", 4.0, "nM"),
+            (3, 10, "=", "MIC", None, "ug.mL-1"),
+            (1, 12, "=", "MIC", 8.0, "ug.mL-1"),
+        ]
+        rows_ass = [
+            (10, "F", "Escherichia coli", "CHEMBL-A10"),
+            (11, "F", "Staphylococcus aureus", "CHEMBL-A11"),
+            (12, "B", "Escherichia coli", "CHEMBL-A12"),
+        ]
+        for r in rows_md:
+            st.executeUpdate(
+                f"INSERT INTO molecule_dictionary VALUES ({r[0]}, '{r[1]}')"
+            )
+        for r in rows_act:
+            val = "NULL" if r[4] is None else str(r[4])
+            st.executeUpdate(
+                "INSERT INTO activities VALUES "
+                f"({r[0]}, {r[1]}, '{r[2]}', '{r[3]}', {val}, '{r[5]}')"
+            )
+        for r in rows_ass:
+            st.executeUpdate(
+                f"INSERT INTO assays VALUES ({r[0]}, '{r[1]}', '{r[2]}', '{r[3]}')"
+            )
+        st.close()
+        con.close()
+
+        ro_url = f"jdbc:derby:{d}/chembl"
+        md = read_jdbc(spark, ro_url, "molecule_dictionary", DERBY_JDBC_DRIVER)
+        act = read_jdbc(
+            spark, ro_url, "activities", DERBY_JDBC_DRIVER,
+            partition_column="molregno", lower_bound=0, upper_bound=4,
+            num_partitions=2,
+        )
+        ass = read_jdbc(spark, ro_url, "assays", DERBY_JDBC_DRIVER)
+
+        out = chembl_assay_query(md, act, ass)
+        got = {
+            (r.pref_name, r.chembl_id, r.strain, float(r.standard_value))
+            for r in out.collect()
+        }
+        assert got == {
+            ("Ampicillin", 1, "Escherichia coli", 0.5),
+            ("Tetracycline", 2, "Staphylococcus aureus", 2.0),
+        }
+
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert pushed, "JDBC scans must carry PushedFilters"
+        joined = " ".join(pushed)
+        assert "STANDARD_RELATION" in joined.upper()
+        assert "STANDARD_TYPE" in joined.upper()
+        assert "ASSAY_TYPE" in joined.upper()
