@@ -10,10 +10,13 @@ Execution is measured with the noop sink (full plan runs, no driver
 collect). A warmup query amortizes JVM/codegen startup out of the numbers.
 
 Each query is timed as the MIN over $SPARK_GRAFT_BENCH_REPEATS passes
-(default 2): this sandbox shows intermittent multi-x slowdowns from
+(default 3): this sandbox shows intermittent multi-x slowdowns from
 co-tenant interference (walls swing 2-6x while steal reads 0), so a
 single-shot wall measures the neighbor, not the plan. Min-of-k is the
-standard estimator for the uncontended cost.
+standard estimator for the uncontended cost; the per-query MEDIAN is
+reported alongside (queries_median) so round-over-round swings are
+attributable — a min/median gap flags neighbor noise, a moved min flags
+the plan.
 """
 
 from __future__ import annotations
@@ -67,12 +70,12 @@ def main() -> None:
     # warmup: JVM + Arrow + codegen paths
     _run(queries["kg_triples"](spark, sf_dir))
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # extra passes only while inside the time budget: a co-tenant slow
     # window must not push the whole bench past the driver's timeout
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "240"))
     bench_t0 = time.monotonic()
-    times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for rep in range(max(1, repeats)):
         if rep > 0 and time.monotonic() - bench_t0 > budget:
             break
@@ -80,7 +83,15 @@ def main() -> None:
             t0 = time.monotonic()
             _run(queries[name](spark, sf_dir))
             wall = round(time.monotonic() - t0, 3)
-            times[name] = min(times.get(name, wall), wall)
+            samples.setdefault(name, []).append(wall)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+    times = {k: min(v) for k, v in samples.items()}
+    medians = {k: _median(v) for k, v in samples.items()}
 
     # triples/sec at this SF (the north-star metric)
     t0 = time.monotonic()
@@ -93,6 +104,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "passes": {k: len(v) for k, v in samples.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": int(cores) if str(cores).isdigit() else cores,
         "triples": n_triples,
