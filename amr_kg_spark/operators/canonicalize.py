@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import stable_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -42,8 +44,8 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-    ).localCheckpoint()
-    sym = sym.localCheckpoint()
+    ).transform(stable_checkpoint)
+    sym = sym.transform(stable_checkpoint)
 
     for _ in range(max_iter):
         # (1) min over direct neighbors — one hop of propagation
@@ -73,7 +75,7 @@ def connected_components(
                     F.col("component"), F.coalesce("pcomp", F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint()
+        ).transform(stable_checkpoint)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

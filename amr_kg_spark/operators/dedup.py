@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import stable_checkpoint
+
 TOKEN_SPLIT = r"\W+"
 
 
@@ -164,7 +166,7 @@ def ngram_jaccard_pairs(
         with_word_shingles(docs, text_col, n, out="__sh", hashed=True)
         .select(F.col(id_col).alias("id"), F.col("__sh").alias("hs"))
         .filter(F.size("hs") > 0)
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
 
     if order == "hash":
@@ -257,7 +259,7 @@ def minhash_lsh_pairs(
         with_word_shingles(docs, text_col, n, out="shingles")
         .select(F.col(id_col).alias("id"), "shingles")
         .filter(F.size("shingles") > 0)
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
@@ -444,7 +446,7 @@ def minhash_pairs_native(
     # sides (same rationale as ngram_jaccard_pairs.base)
     base = with_word_shingles(docs, text_col, n, out="hs", hashed=True).select(
         F.col(id_col).alias("id"), "hs"
-    ).filter(F.size("hs") > 0).localCheckpoint()
+    ).filter(F.size("hs") > 0).transform(stable_checkpoint)
 
     # signatures via explode + 32 min-aggregations: stays in whole-stage
     # codegen with map-side partial aggregation (the shuffle carries 32

@@ -107,6 +107,29 @@ def _est_scan_partitions(df) -> int | None:
     return max(len(files), math.ceil(total / max_bytes))
 
 
+RELIABLE_CHECKPOINT_CONF = "spark.amr.reliableCheckpoint"
+
+
+def stable_checkpoint(df):
+    """Eagerly materialize a multi-branch intermediate (shingled corpora,
+    CC frontiers): left lazy, Spark's racing broadcast-subquery futures
+    re-derive it per branch — measured 2-4x a whole query's wall at sf0.1.
+
+    Default is ``localCheckpoint`` — correct and fast on local[*] (one
+    JVM). Its blocks are EXECUTOR-LOCAL: on a cluster, losing an executor
+    mid-job means job restart. Production sets a checkpoint directory
+    (``sc.setCheckpointDir``) and flips ``spark.amr.reliableCheckpoint``
+    to ``true``; every call site then writes a RELIABLE checkpoint (HDFS/
+    object-store backed, survives executor loss) with no code change."""
+    spark = df.sparkSession
+    if (
+        spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false") == "true"
+        and spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    ):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def fan_out(df, min_partitions: int | None = None):
     """Repartition a DataFrame UP to the session's parallelism when its scan
     has fewer partitions than cores — the sandbox's single small parquet

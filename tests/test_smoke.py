@@ -18,3 +18,29 @@ def test_every_query_has_callable_signature(spark):
     oracles = entrymod.oracle_sql()
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
+
+
+def test_stable_checkpoint_reliable_switch(spark, tmp_path):
+    """With a checkpoint dir + spark.amr.reliableCheckpoint=true,
+    stable_checkpoint writes a RELIABLE checkpoint (survives executor
+    loss on a cluster); default stays localCheckpoint. Conf restored so
+    the shared session is unaffected."""
+    import os
+
+    from amr_kg_spark.session import RELIABLE_CHECKPOINT_CONF, stable_checkpoint
+
+    df = spark.range(100)
+    local = stable_checkpoint(df)
+    assert local.count() == 100
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        reliable = stable_checkpoint(spark.range(50))
+        assert reliable.count() == 50
+        ckpt_files = []
+        for root, _, files in os.walk(str(tmp_path / "ckpt")):
+            ckpt_files.extend(files)
+        assert ckpt_files, "reliable checkpoint must write to the ckpt dir"
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
