@@ -243,6 +243,23 @@ class CatalogStageRunner:
     def lineage(self) -> DataFrame:
         return self.spark.table(self._lineage())
 
+    def metrics(self) -> DataFrame:
+        """Stage-level rollup: rows, partitions, wall time, rows/sec —
+        same shape as StageRunner.metrics (runner-interchangeable)."""
+        lin = self.lineage()
+        return (
+            lin.groupBy("run_id", "stage")
+            .agg(
+                F.sum("rows").alias("rows"),
+                F.count("*").alias("partitions"),
+                F.max("wall_ms").alias("wall_ms"),
+            )
+            .withColumn(
+                "rows_per_sec",
+                F.round(F.col("rows") / (F.col("wall_ms") / 1000.0), 2),
+            )
+        )
+
     def invalidate(self, stage: str) -> None:
         """Drop the stage's commit rows (and table) — forces recompute."""
         if self.spark.catalog.tableExists(self._commits()):

@@ -33,17 +33,25 @@ from .operators.triples import (
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
-    workdir: str,
+    workdir: str | None = None,
     run_id: str | None = None,
     canonicalize: bool = False,
+    runner=None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full KG build; returns the materialized tables.
 
     With ``canonicalize=True`` a similarity-graph CC pass merges near-
     duplicate nodes and repoints edges before the final tables (north_star
     canonicalization stage; a no-op when the vocabulary is already clean).
+
+    ``runner`` selects the persistence layer: the default parquet-dir
+    StageRunner(workdir), or a CatalogStageRunner for catalog-table
+    snapshots (both expose run/is_committed/lineage/metrics).
     """
-    runner = StageRunner(spark, workdir, run_id)
+    if runner is None:
+        if workdir is None:
+            raise ValueError("need workdir (or pass a runner)")
+        runner = StageRunner(spark, workdir, run_id)
 
     with_mentions = runner.run(
         "mentions",
