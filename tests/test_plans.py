@@ -91,3 +91,23 @@ def test_kg_pipeline_has_no_python_row_udfs(spark):
     plan = _plan(extract_triples(spark, derive_transcripts(spark, SF_SMALL)))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_emb_neardup_plan_is_blocked_not_cartesian(spark):
+    """The near-dup self-join must join on the block key — a cartesian
+    product here is the all-pairs blow-up the operator exists to avoid."""
+    from amr_kg_spark.queries import datapipe as D
+
+    plan = _plan(D.q_emb_neardup(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pretrained_plan_is_pure_catalyst(spark):
+    """Fixed-centroid assignment + probe filter + cosine rerank must stay
+    JVM-side: no Python eval nodes anywhere in the ANN plan."""
+    from amr_kg_spark.queries import datapipe as D
+
+    plan = _plan(D.q_ivf_topk(spark, SF_SMALL))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
