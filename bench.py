@@ -93,10 +93,45 @@ def main() -> None:
     times = {k: min(v) for k, v in samples.items()}
     medians = {k: _median(v) for k, v in samples.items()}
 
-    # triples/sec at this SF (the north-star metric)
+    # triples/sec at this SF (the north-star metric). NOTE: at sandbox SFs
+    # this wall is dominated by fixed per-job costs (scheduling, codegen,
+    # Python worker spin-up), so the marginal figure below is the honest
+    # throughput estimate.
     t0 = time.monotonic()
     n_triples = queries["kg_triples"](spark, sf_dir).count()
     triple_wall = time.monotonic() - t0
+
+    # marginal input throughput of the flagship extraction: min walls at
+    # two synthetic sizes, slope = turns/s with fixed costs cancelled
+    # (same estimator as bench_scaling.py, 2 sizes x min-of-2)
+    turns_marginal = None
+    if time.monotonic() - bench_t0 < budget:
+        from amr_kg_spark.fixtures import synth_transcripts
+        from amr_kg_spark.operators.mentions import detect_mentions
+        from amr_kg_spark.operators.triples import (
+            build_triples,
+            cooccurrence_pairs,
+            resolve_pairs,
+        )
+
+        def flagship(n):
+            t = synth_transcripts(spark, n_turns=n, n_convs=1000, hot_frac=0.1)
+            return build_triples(
+                resolve_pairs(spark, cooccurrence_pairs(detect_mentions(t)))
+            )
+
+        sizes = (1_000_000, 2_000_000)
+        walls = {}
+        for _ in range(2):
+            for n in sizes:
+                t0 = time.monotonic()
+                _run(flagship(n))
+                walls[n] = min(
+                    walls.get(n, 1e9), time.monotonic() - t0
+                )
+        delta = walls[sizes[1]] - walls[sizes[0]]
+        if delta > 0.2:
+            turns_marginal = round((sizes[1] - sizes[0]) / delta, 1)
 
     total = round(sum(times.values()), 3)
     out = {
@@ -110,6 +145,7 @@ def main() -> None:
         "cores": int(cores) if str(cores).isdigit() else cores,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / triple_wall, 2),
+        "flagship_turns_per_sec_marginal": turns_marginal,
     }
     print(json.dumps(out))
     spark.stop()
