@@ -162,11 +162,15 @@ def ngram_jaccard_pairs(
     t = float(threshold)
     if hot_shingle_cap is not None:
         order = "frequency"
+    # the degenerate-doc filter runs AFTER the checkpoint barrier: placed
+    # before it, Catalyst pushes the predicate below the fan-out exchange,
+    # inlining the entire shingle expression into a Filter evaluated on the
+    # (single-task) scan side — measured 4s of serial compute at sf0.1
     base = (
         with_word_shingles(docs, text_col, n, out="__sh", hashed=True)
         .select(F.col(id_col).alias("id"), F.col("__sh").alias("hs"))
-        .filter(F.size("hs") > 0)
         .transform(stable_checkpoint)
+        .filter(F.size("hs") > 0)
     )
 
     if order == "hash":
@@ -258,8 +262,8 @@ def minhash_lsh_pairs(
     base = (
         with_word_shingles(docs, text_col, n, out="shingles")
         .select(F.col(id_col).alias("id"), "shingles")
-        .filter(F.size("shingles") > 0)
-        .transform(stable_checkpoint)
+        .transform(stable_checkpoint)  # barrier BEFORE the filter (see
+        .filter(F.size("shingles") > 0)  # ngram_jaccard_pairs note)
     )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
@@ -446,7 +450,8 @@ def minhash_pairs_native(
     # sides (same rationale as ngram_jaccard_pairs.base)
     base = with_word_shingles(docs, text_col, n, out="hs", hashed=True).select(
         F.col(id_col).alias("id"), "hs"
-    ).filter(F.size("hs") > 0).transform(stable_checkpoint)
+    ).transform(stable_checkpoint).filter(F.size("hs") > 0)
+    # (barrier before the filter — see ngram_jaccard_pairs note)
 
     # signatures via explode + 32 min-aggregations: stays in whole-stage
     # codegen with map-side partial aggregation (the shuffle carries 32
