@@ -188,7 +188,9 @@ def main() -> None:
         f"{wtxt(udf[32])} | {tp32:,.0f} | "
         f"{tp32 / tp8:.2f}x | {eff:.3f} |"
     )
-    with open("BENCH/BASELINE.md", "w") as f:
+    # append a run record — never rewrite the file (it carries the curated
+    # multi-round evidence; clobbering it once cost a round-3 restore)
+    with open("BENCH/SCALING_RUNS.md", "a") as f:
         f.write(
             f"""# BENCH — measured numbers (sandbox)
 
