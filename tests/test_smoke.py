@@ -44,3 +44,15 @@ def test_stable_checkpoint_reliable_switch(spark, tmp_path):
         assert ckpt_files, "reliable checkpoint must write to the ckpt dir"
     finally:
         spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+
+
+def test_registry_has_exactly_50_fully_oracled_queries():
+    """The driver verifies only the first 50 registry entries; every entry
+    must have a value oracle (rows-only checks are strictly weaker). Any
+    new query must displace or merge into an existing one."""
+    import __spark_entry__ as m
+
+    q = m.queries()
+    o = m.oracle_sql()
+    assert len(q) == 50, f"registry must stay at 50, got {len(q)}"
+    assert set(q) == set(o), f"missing oracles: {set(q) - set(o)}"
