@@ -101,6 +101,74 @@ def child(cores: int, n_turns: int, variant: str) -> None:
     spark.stop()
 
 
+def child_one(cores: int, n_turns: int, variant: str) -> None:
+    """Measure ONE size in a fresh JVM and print its wall — the unit of the
+    per-size interleaved estimator (see main --interleaved)."""
+    from amr_kg_spark.operators.mentions import detect_mentions, detect_mentions_jvm
+    from amr_kg_spark.session import get_spark
+
+    detect = detect_mentions if variant == "udf" else detect_mentions_jvm
+    spark = get_spark(app_name=f"scaling1-{variant}-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    _plan(spark, detect, 200_000).write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    _plan(spark, detect, n_turns).write.format("noop").mode("overwrite").save()
+    wall = round(time.monotonic() - t0, 3)
+    print(json.dumps({"cores": cores, "n_turns": n_turns, "wall": wall}))
+    spark.stop()
+
+
+def _run_child_one(cores: int, n_turns: int, variant: str) -> float:
+    cmd = [sys.executable, __file__, "--child-one", str(cores), str(n_turns), variant]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    print(line, flush=True)
+    return json.loads(line)["wall"]
+
+
+def interleaved(n_turns: int, rounds: int, lo: int = 8, hi: int = 32) -> None:
+    """The drift-robust estimator: ALTERNATE the 8- and 32-core levels at
+    PER-SIZE granularity (each measurement its own pinned JVM), so both
+    levels sample every co-tenant window equally. Sweep-level alternation
+    proved insufficient: a whole sweep (~2-4 min) can land in one window
+    and its counterpart in another, spreading the efficiency estimate
+    0.68-0.83 across otherwise-identical runs (BENCH/SCALING_RUNS.md)."""
+    sizes_hi = [int(m * n_turns) for m in SIZE_MULTIPLIERS]
+    walls: dict[tuple[int, int], list[float]] = {}
+    for _ in range(rounds):
+        for n_hi in sizes_hi:
+            n_lo = n_hi // 2
+            w_lo = _run_child_one(lo, n_lo, "udf")
+            w_hi = _run_child_one(hi, n_hi, "udf")
+            walls.setdefault((lo, n_lo), []).append(w_lo)
+            walls.setdefault((hi, n_hi), []).append(w_hi)
+    out = {}
+    for cores in (lo, hi):
+        ns = sorted(n for c, n in walls if c == cores)
+        mins = [min(walls[(cores, n)]) for n in ns]
+        tps, r2 = _fit(ns, mins)
+        out[cores] = {"sizes": ns, "min_walls": mins,
+                      "marginal_turns_per_sec": round(tps, 1), "r2": round(r2, 4)}
+    eff = out[hi]["marginal_turns_per_sec"] / out[lo]["marginal_turns_per_sec"] / 4
+    summary = {
+        "method": "per-size interleaved",
+        "levels": [lo, hi],
+        "marginal_tps_local8": out[lo]["marginal_turns_per_sec"],
+        "marginal_tps_local32": out[hi]["marginal_turns_per_sec"],
+        "r2_local8": out[lo]["r2"], "r2_local32": out[hi]["r2"],
+        "speedup": round(out[hi]["marginal_turns_per_sec"] / out[lo]["marginal_turns_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "detail": out,
+    }
+    print(json.dumps(summary))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALING_RUNS.md", "a") as f:
+        f.write("\n## interleaved run record\n\n```json\n"
+                + json.dumps(summary) + "\n```\n")
+
+
 def _run_child(cores: int, n_turns: int, variant: str) -> dict:
     cmd = [sys.executable, __file__, "--child", str(cores), str(n_turns), variant]
     if shutil.which("taskset"):
@@ -142,6 +210,15 @@ def _merge_walls(acc: dict | None, run: dict) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-one":
+        child_one(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--interleaved":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
+        lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        interleaved(n, int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2")), lo, hi)
         return
 
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
@@ -246,7 +323,7 @@ The reference publishes no numbers (BASELINE.md): it executes per-row
 Python with per-row network calls, O(minutes) for O(10^3) rows.
 """
         )
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/SCALING_RUNS.md")
 
 
 if __name__ == "__main__":
