@@ -85,6 +85,22 @@ def run_available_now(
     q.awaitTermination()
 
 
+def stream_dedup_turns(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exactly-once turn dedup: drop replays of the same
+    (conv_id, turn_idx) within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is GC'd once the event-time
+    watermark passes, so state size is bounded by the horizon's turn
+    volume, not the stream's history; the unbounded-state-safe form of
+    streaming dedup at 10^12 turns). Upstream at-least-once sources
+    (Kafka redeliveries, file-drop retries) become exactly-once turns for
+    every downstream mention/triple stage."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def stream_conversation_state(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per
     conversation, maintain running state across micro-batches — turns seen,

@@ -109,3 +109,30 @@ def test_stateful_conversation_state(spark):
                     t.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()}
         got = {r.conv_id: r.n for r in final}
         assert got == expected
+
+
+def test_stream_dedup_turns_drops_replays(spark):
+    """dropDuplicatesWithinWatermark: replayed (conv_id, turn_idx) rows in
+    later micro-batches are suppressed; output is one row per turn."""
+    from amr_kg_spark.streaming.stream_kg import (
+        read_transcript_stream,
+        run_available_now,
+        stream_dedup_turns,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        ind, outd, ckpt = (os.path.join(root, x) for x in ("in", "out", "ckpt"))
+        t = synth_transcripts(spark, n_turns=400, n_convs=8)
+        # drop 1: all turns; drop 2: a replay of half of them (at-least-once)
+        t.coalesce(1).write.mode("append").parquet(ind)
+        t.filter("turn_idx % 2 = 0").coalesce(1).write.mode("append").parquet(ind)
+
+        stream = read_transcript_stream(spark, ind, max_files_per_trigger=1)
+        run_available_now(stream_dedup_turns(stream), outd, ckpt)
+
+        out = spark.read.parquet(outd)
+        assert out.count() == t.select("conv_id", "turn_idx").distinct().count()
+        dups = (
+            out.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+        )
+        assert dups == 0
