@@ -122,3 +122,31 @@ def test_canonicalize_kg_runs_cc_exactly_once(spark, monkeypatch):
     out = C.canonicalize_kg(nodes, edges, max_dist=0.4)
     assert out["nodes"].count() == 1
     assert len(calls) == 1
+
+
+def test_cc_iterations_logarithmic_in_diameter(spark, monkeypatch):
+    """Pointer jumping must converge in O(log diameter) rounds — the
+    property that makes CC viable at 10^12-node scale (a naive one-hop
+    propagation needs O(diameter) shuffles). Counted via the per-iteration
+    checkpoint."""
+    import math
+
+    import amr_kg_spark.operators.canonicalize as C
+
+    calls = {"n": 0}
+    orig = C.stable_checkpoint
+
+    def counting(df):
+        calls["n"] += 1
+        return orig(df)
+
+    monkeypatch.setattr(C, "stable_checkpoint", counting)
+    n = 512  # path graph of diameter n
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    comp = C.connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    iters = calls["n"] - 2  # two checkpoints before the loop
+    bound = math.ceil(math.log2(n)) + 4  # doubling + convergence-confirm slack
+    assert iters <= bound, f"{iters} iterations for diameter {n} (bound {bound})"
