@@ -503,3 +503,46 @@ def minhash_pairs_native(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_keep_representatives(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    method: str = "minhash",
+) -> DataFrame:
+    """Corpus-level near-dup removal: the operator a training-data pipeline
+    actually runs. Near-dup PAIRS (banded MinHash + exact rerank by
+    default; ``method="exact"`` for the prefix-filtered exact join) are
+    closed into clusters with pointer-jumping connected components, and
+    ONE representative per cluster survives — min id, the deterministic
+    A5 first-wins policy. Docs in no pair pass through untouched, so the
+    output is the kept corpus (original schema), not a pair list.
+
+    Scale shape: pairs are banded (never all-pairs), CC is O(log diameter)
+    rounds over the pair graph only (near-dup clusters are tiny relative
+    to the corpus), and the final step is one broadcast-able left_anti
+    join against the drop-list (cluster members minus representatives).
+    """
+    from .canonicalize import connected_components
+
+    if method == "exact":
+        pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+    else:
+        pairs = minhash_pairs_native(
+            docs, id_col, text_col, n, threshold=threshold
+        )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    drop = (
+        comp.withColumn(
+            "rep",
+            F.min("node").over(Window.partitionBy("component")),
+        )
+        .filter(F.col("node") != F.col("rep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

@@ -194,3 +194,33 @@ def test_ngram_prefix_order_invariance(spark):
         for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, order="frequency").collect()
     }
     assert h == f and len(h) > 0
+
+
+def test_dedup_keep_representatives(spark):
+    """Corpus-level dedup: every near-dup cluster keeps exactly its min-id
+    member; everything else passes through."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    kept = D.dedup_keep_representatives(docs, threshold=0.8)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+
+    # union-find closure on the driver as the oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), set()).add(x)
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    in_cluster = set().union(*clusters.values()) if clusters else set()
+    expected = (all_ids - in_cluster) | {min(c | {rep}) for rep, c in clusters.items()}
+    assert kept_ids == expected
