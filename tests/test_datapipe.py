@@ -224,3 +224,48 @@ def test_dedup_keep_representatives(spark):
     in_cluster = set().union(*clusters.values()) if clusters else set()
     expected = (all_ids - in_cluster) | {min(c | {rep}) for rep, c in clusters.items()}
     assert kept_ids == expected
+
+
+@pytest.mark.parametrize("threshold", [0.07, 0.2, 1.0 / 3.0, 0.5, 0.8])
+def test_ngram_jaccard_exactness_vs_bruteforce(spark, threshold):
+    """EXACTNESS across awkward thresholds (incl. values where t*sz is an
+    exact integer — the fp-ceiling edge): the prefix-filtered join must
+    equal the driver-side brute-force Jaccard on a seeded random corpus
+    with planted near-dups."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(24):
+        words = [rng.choice(vocab) for _ in range(rng.randint(8, 40))]
+        docs.append((i, " ".join(words)))
+    # planted near-dups: copy with a small suffix change
+    for i in range(3):
+        base = docs[i][1]
+        docs.append((100 + i, base + " extraword"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(text, n=3):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) <= n - 1:
+            return {" ".join(toks[0:n])} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in docs}
+    expected = set()
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            expected.add((a, b))
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(df, n=3, threshold=threshold).collect()
+    }
+    assert got == expected, (
+        f"t={threshold}: spark-only={got - expected}, missed={expected - got}"
+    )
