@@ -245,3 +245,46 @@ def rhp_ann_topk(
     return _topk_by_cosine(
         cands.select(F.col(id_col).alias("vec_id"), cos.alias("_cos")), k
     )
+
+
+def write_ivf_table(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a cluster-partitioned table — the
+    ingest-time half of IVF at scale: assignment happens once, the cluster
+    id becomes the physical partition key, and every probe afterwards is
+    PARTITION PRUNING (the scan reads n_probe/n_clusters of the corpus
+    from disk; asserted on the plan in tests/test_plans.py)."""
+    assign_fixed_centroids(emb, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+
+
+def ivf_table_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query the materialized IVF table: pick the n_probe nearest centroids
+    on the driver (centroid list is tiny), scan ONLY their partitions,
+    exact cosine rerank."""
+    q = np.asarray(query_vec, dtype=float)
+    scored = sorted(
+        (float(np.sum((q - np.asarray(c, dtype=float)) ** 2)), int(cid))
+        for cid, c in centroids
+    )
+    probes = [cid for _, cid in scored[:n_probe]]
+    cands = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
+    return _topk_by_cosine(
+        cands.select(F.col(id_col).alias("vec_id"), cos.alias("_cos")), k
+    )
