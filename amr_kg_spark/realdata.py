@@ -186,3 +186,85 @@ def load_dump_base_triples(path: str = f"{REF_DATA}/dump/v1.0.csv") -> set:
             s, o = o, s
         out.add((s, t, o))
     return out
+
+
+def load_reference_mic(
+    spark: SparkSession, data_dir: str = REF_DATA
+) -> DataFrame:
+    """The mic frame refgraph expects (pref_name, chembl_id,
+    standard_relation, standard_type, strain, assay_id, mic_val), derived
+    from the REAL ``MIC/mic-data.tsv`` — the raw ChEMBL export whose
+    distinct (NAME, Molecule ChEMBL ID) pairs are exactly the published
+    dump's ChEMBL ingestion input (775/775 name overlap, zero extras; the
+    repo's ``data_dump_31.tsv`` intermediate is absent). mic_val =
+    standard_value + standard_units string concat (src/amr.py:393-396)."""
+    from .sources.files import read_tsv
+
+    mic = read_tsv(spark, f"{data_dir}/MIC/mic-data.tsv")
+    return mic.select(
+        F.col("NAME").alias("pref_name"),
+        F.col("Molecule ChEMBL ID").alias("chembl_id"),
+        F.col("Standard Relation").alias("standard_relation"),
+        F.col("Standard Type").alias("standard_type"),
+        F.col("strain").alias("strain"),
+        F.col("Assay ChEMBL ID").alias("assay_id"),
+        F.concat("Standard Value", "Standard Units").alias("mic_val"),
+    )
+
+
+def build_chembl_assay_triples(
+    spark: SparkSession, data_dir: str = REF_DATA
+) -> DataFrame:
+    """Name-level Pathogen -ASSAY IN-> ChEMBL triples from the real mic
+    export (the dump's largest edge family: 1009 of 1498 edges)."""
+    from .refgraph import chembl_assay_edges, chembl_nodes, pathogen_nodes
+
+    pathogen = read_csv(spark, f"{data_dir}/AMR/pathogen.csv")
+    mic = load_reference_mic(spark, data_dir)
+    chembl = chembl_nodes(mic, pathogen)
+    pkeys = pathogen_nodes(pathogen).select(F.col("key").alias("pkey"))
+    edges = chembl_assay_edges(mic, pkeys)
+    dst = chembl.select(
+        F.col("key").alias("dst_key"), F.col("name").alias("obj")
+    )
+    return (
+        edges.join(dst, ["dst_key"])
+        .select(
+            F.col("src_key").alias("subj"),
+            F.col("rel").alias("pred"),
+            "obj",
+        )
+        .dropDuplicates()
+    )
+
+
+def load_dump_chembl_assay_triples(
+    path: str = f"{REF_DATA}/dump/v1.0.csv",
+) -> set:
+    """Distinct Pathogen->ChEMBL ASSAY-IN triples from the published dump,
+    LOWERCASED obj names: the dump predates the current source's
+    ``name.title()`` on ChEMBL display names (src/sources.py:44-46), so
+    names compare case-insensitively. Pathogen->SPARK/PubChem assay edges
+    (53 of 1062) are out of scope: their endpoints are named by live
+    PubChem REST lookups the sandbox cannot replay."""
+    import csv
+
+    with open(path, newline="", encoding="utf-8") as f:
+        rows = list(csv.reader(f))
+    hdr = rows[0]
+    ix = {c: i for i, c in enumerate(hdr)}
+    nodes = {
+        r[ix["_id"]]: (r[ix["_labels"]], r[ix["name"]] or r[ix["Name"]])
+        for r in rows[1:]
+        if r[ix["_labels"]]
+    }
+    out = set()
+    for r in rows[1:]:
+        if r[ix["_labels"]] or r[ix["_type"]] != "ASSAY IN":
+            continue
+        (slbl, sname) = nodes[r[ix["_start"]]]
+        (dlbl, dname) = nodes[r[ix["_end"]]]
+        if dlbl != ":ChEMBL":
+            continue
+        out.add((sname, "ASSAY IN", (dname or "").lower()))
+    return out
