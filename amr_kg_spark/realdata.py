@@ -268,3 +268,108 @@ def load_dump_chembl_assay_triples(
             continue
         out.add((sname, "ASSAY IN", (dname or "").lower()))
     return out
+
+
+def load_reference_spark_tsv(
+    spark: SparkSession, data_dir: str = REF_DATA
+) -> DataFrame:
+    """The SPARK frame refgraph expects, from the REAL
+    ``SPARK/processed_mic_data.tsv`` (src/amr.py:398-407: dtype=str +
+    drop_duplicates)."""
+    from .sources.files import read_tsv
+
+    t = read_tsv(spark, f"{data_dir}/SPARK/processed_mic_data.tsv")
+    return t.select(
+        F.col("Compound Name").alias("spark_id"),
+        F.col("SMILES").alias("smiles"),
+        F.col("PubMed ID").alias("pubmed_id"),
+        F.col("Curated & Transformed MIC Data: MIC (in microM) (microM)").alias(
+            "mic_val"
+        ),
+        F.col("Curated & Transformed MIC Data: Species").alias("specie"),
+        F.col("Curated & Transformed MIC Data: DOI").alias("doi"),
+        F.col("pubchem").alias("pubchem_id"),
+        F.col("chembl").alias("chembl_id"),
+    ).dropDuplicates()
+
+
+def build_spark_assay_triples(
+    spark: SparkSession, data_dir: str = REF_DATA
+) -> DataFrame:
+    """Pathogen -ASSAY IN-> {SPARK | ChEMBL} triples from the real SPARK
+    export, with an EMPTY pubchem alias table (the reference names some
+    nodes via live PubChem REST; without it, new ChEMBL nodes fall back to
+    their chembl id — exactly the published dump's names — and
+    PubChem-endpoint edges are skipped). Identity per family: SPARK
+    endpoints by spark_id (dump SPARK nodes carry no name), ChEMBL
+    endpoints by lowercased key."""
+    from .refgraph import (
+        chembl_nodes,
+        pathogen_nodes,
+        spark_assay_edges,
+        spark_source_nodes,
+    )
+
+    pathogen = read_csv(spark, f"{data_dir}/AMR/pathogen.csv")
+    mic = load_reference_mic(spark, data_dir)
+    spark_tsv = load_reference_spark_tsv(spark, data_dir)
+    empty_alias = spark.createDataFrame(
+        [], "pubchem_id string, synonym string, iupac_name string"
+    )
+    chembl = chembl_nodes(mic, pathogen)
+    branch = spark_source_nodes(spark_tsv, pathogen, chembl, empty_alias)
+    nodes = (
+        branch["SPARK"]
+        .unionByName(branch["ChEMBL_new"])
+        .unionByName(branch["PubChem"])
+        .unionByName(chembl)
+    )
+    pkeys = pathogen_nodes(pathogen).select(F.col("key").alias("pkey"))
+    edges = spark_assay_edges(spark_tsv, pkeys, nodes)
+    return (
+        edges.filter(F.col("dst_label") != "PubChem")
+        .select(
+            F.col("src_key").alias("subj"),
+            F.col("rel").alias("pred"),
+            F.when(F.col("dst_label") == "SPARK", F.col("dst_key"))
+            .otherwise(F.lower("dst_key"))
+            .alias("obj"),
+            "dst_label",
+        )
+        .dropDuplicates()
+    )
+
+
+def load_dump_spark_assay_triples(
+    path: str = f"{REF_DATA}/dump/v1.0.csv",
+) -> set:
+    """Distinct Pathogen->{SPARK|ChEMBL-id-named} ASSAY-IN triples from the
+    dump, with the same identities as :func:`build_spark_assay_triples`
+    (SPARK endpoint = its 'SPARK ID' prop; ChEMBL endpoint = lowercased
+    name); PubChem endpoints excluded (REST-named). Callers scope the
+    ChEMBL endpoints to the REST-independent subset."""
+    import csv
+
+    with open(path, newline="", encoding="utf-8") as f:
+        rows = list(csv.reader(f))
+    hdr = rows[0]
+    ix = {c: i for i, c in enumerate(hdr)}
+    nodes = {}
+    for r in rows[1:]:
+        if r[ix["_labels"]]:
+            nodes[r[ix["_id"]]] = (
+                r[ix["_labels"]],
+                r[ix["name"]] or r[ix["Name"]],
+                r[ix["SPARK ID"]],
+            )
+    out = set()
+    for r in rows[1:]:
+        if r[ix["_labels"]] or r[ix["_type"]] != "ASSAY IN":
+            continue
+        slbl, sname, _ = nodes[r[ix["_start"]]]
+        dlbl, dname, dspark = nodes[r[ix["_end"]]]
+        if dlbl == ":SPARK":
+            out.add((sname, "ASSAY IN", dspark, "SPARK"))
+        elif dlbl == ":ChEMBL":
+            out.add((sname, "ASSAY IN", (dname or "").lower(), "ChEMBL"))
+    return out

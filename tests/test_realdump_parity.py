@@ -94,3 +94,58 @@ def test_chembl_assay_edges_match_published_dump(spark):
         f"spark-only={sorted(got - expected)[:6]}\n"
         f"dump-only={sorted(expected - got)[:6]}"
     )
+
+
+def test_spark_assay_edges_match_published_dump(spark):
+    """The SPARK-sourced assay edges rebuilt from the real
+    processed_mic_data.tsv. Compared on the provably REST-independent
+    subset: SPARK endpoints (never REST-named) plus ChEMBL endpoints whose
+    id never co-occurs with a pubchem id (the reference names those via
+    live REST; with our empty alias table both eras then agree the name is
+    the chembl id). MIC-covered names are excluded on both sides (already
+    scored by the chembl_assay test)."""
+    from amr_kg_spark.realdata import (
+        build_spark_assay_triples,
+        load_dump_spark_assay_triples,
+        load_reference_mic,
+        load_reference_spark_tsv,
+    )
+    import pyspark.sql.functions as F
+
+    mic_names = {
+        (r.pref_name or "").lower()
+        for r in load_reference_mic(spark).select("pref_name").distinct().collect()
+    }
+    st = load_reference_spark_tsv(spark)
+    rest_ambiguous = {
+        (r.chembl_id or "").lower()
+        for r in st.filter(
+            F.col("chembl_id").isNotNull() & F.col("pubchem_id").isNotNull()
+        ).select("chembl_id").distinct().collect()
+    }
+
+    def keep(t):
+        subj, pred, obj, fam = t
+        if fam == "SPARK":
+            return True
+        return obj not in mic_names and obj not in rest_ambiguous
+
+    got = {
+        t
+        for t in (
+            (r.subj, r.pred, r.obj, r.dst_label)
+            for r in build_spark_assay_triples(spark).collect()
+        )
+        if keep(t)
+    }
+    expected = {t for t in load_dump_spark_assay_triples() if keep(t)}
+    assert expected, "dump must contain REST-independent SPARK-side edges"
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(expected) if expected else 0.0
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.3f} R={recall:.3f} "
+        f"(got {len(got)}, expected {len(expected)})\n"
+        f"spark-only={sorted(got - expected)[:6]}\n"
+        f"dump-only={sorted(expected - got)[:6]}"
+    )
