@@ -124,14 +124,19 @@ def main() -> None:
         walls = {}
         for _ in range(2):
             for n in sizes:
+                # re-check inside the loop: a co-tenant slow window must
+                # not push the whole bench past the driver's timeout
+                if time.monotonic() - bench_t0 > budget:
+                    break
                 t0 = time.monotonic()
                 _run(flagship(n))
                 walls[n] = min(
                     walls.get(n, 1e9), time.monotonic() - t0
                 )
-        delta = walls[sizes[1]] - walls[sizes[0]]
-        if delta > 0.2:
-            turns_marginal = round((sizes[1] - sizes[0]) / delta, 1)
+        if len(walls) == len(sizes):
+            delta = walls[sizes[1]] - walls[sizes[0]]
+            if delta > 0.2:
+                turns_marginal = round((sizes[1] - sizes[0]) / delta, 1)
 
     total = round(sum(times.values()), 3)
     out = {
