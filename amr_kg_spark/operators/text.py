@@ -102,3 +102,51 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFram
         lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, n), " ")),
     )
     return step.select("doc_id", F.array_min(shingles).alias("fingerprint"))
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals — Catalyst-only:
+
+    - ``dup_ngram_ratio``: 1 - distinct/total n-gram shingles (0 = no
+      repeated n-gram; near 1 = boilerplate loops);
+    - ``dup_token_ratio``: 1 - distinct/total tokens;
+    - ``top_token_ratio``: share of the single most frequent token.
+
+    Standard pre-training quality gates (Rae et al., Gopher appendix A):
+    documents over thresholds on these are template/spam artifacts.
+    """
+    from .dedup import tokens_col
+
+    toks = tokens_col(text_col)
+    t = "__t"
+    step = docs.withColumn(t, toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col(t), i, n), " "),
+    )
+    g = "__g"
+    step = step.withColumn(g, grams)
+    ntok = F.size(t)
+    # most-frequent-token count via aggregate over the distinct tokens
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col(t)),
+            lambda w: F.size(F.filter(F.col(t), lambda x: x == w)),
+        )
+    )
+    return step.select(
+        "doc_id",
+        F.when(
+            F.size(g) > 0,
+            F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+        F.when(
+            ntok > 0,
+            F.round(1.0 - F.size(F.array_distinct(t)) / ntok, 6),
+        ).otherwise(F.lit(0.0)).alias("dup_token_ratio"),
+        F.when(ntok > 0, F.round(top / ntok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_ratio"),
+    )

@@ -269,3 +269,31 @@ def test_ngram_jaccard_exactness_vs_bruteforce(spark, threshold):
     assert got == expected, (
         f"t={threshold}: spark-only={got - expected}, missed={expected - got}"
     )
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition metrics: hand-checked values on constructed
+    docs (pure repetition, no repetition, mixed)."""
+    from amr_kg_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one token repeated
+            (2, "alpha beta gamma delta epsilon zeta"),  # all distinct
+            (3, "one two three one two three one two three"),  # period-3 loop
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs, n=3).collect()}
+    # doc 1: 4 trigrams all identical -> dup 0.75; tokens 6 -> distinct 1
+    assert out[1].dup_ngram_ratio == 0.75
+    assert out[1].dup_token_ratio == round(1 - 1 / 6, 6)
+    assert out[1].top_token_ratio == 1.0
+    # doc 2: no repetition anywhere
+    assert out[2].dup_ngram_ratio == 0.0
+    assert out[2].dup_token_ratio == 0.0
+    assert out[2].top_token_ratio == round(1 / 6, 6)
+    # doc 3: 9 tokens, 7 trigrams, 3 distinct -> dup 4/7
+    assert out[3].dup_ngram_ratio == round(1 - 3 / 7, 6)
+    assert out[3].dup_token_ratio == round(1 - 3 / 9, 6)
+    assert out[3].top_token_ratio == round(3 / 9, 6)
