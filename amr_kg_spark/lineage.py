@@ -205,7 +205,14 @@ class CatalogStageRunner:
             with _conf(
                 self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
             ):
-                df.write.mode("overwrite").insertInto(tbl)
+                # insertInto matches columns by POSITION; saveAsTable with
+                # partitionBy moves partition columns to the END of the
+                # table schema, so align by NAME against the live table
+                # schema first — otherwise any build() whose partition
+                # column isn't already last silently writes shifted data.
+                df.select(*self.spark.table(tbl).columns).write.mode(
+                    "overwrite"
+                ).insertInto(tbl)
         else:
             w = df.write.mode("overwrite").format("parquet")
             if partition_by:
@@ -241,7 +248,21 @@ class CatalogStageRunner:
         return self.spark.table(tbl)
 
     def lineage(self) -> DataFrame:
-        return self.spark.table(self._lineage())
+        """Committed lineage only. Audit rows are appended BEFORE the
+        commit record (the commit stays the last, atomic write), so a
+        crash between the two can leave orphan lineage rows tagged with a
+        version number the recovery re-run will mint again. Gating reads
+        through a semi-join with ``__commits`` on (run_id, stage,
+        version) makes those uncommitted rows invisible instead of
+        double-counting a version in metrics(). The commit side is tiny
+        (one row per stage-version) — broadcast."""
+        lin = self.spark.table(self._lineage())
+        commits = self.spark.table(self._commits()).select(
+            "run_id", "stage", "version"
+        )
+        return lin.join(
+            F.broadcast(commits), ["run_id", "stage", "version"], "left_semi"
+        )
 
     def metrics(self) -> DataFrame:
         """Stage-level rollup: rows, partitions, wall time, rows/sec —

@@ -523,8 +523,12 @@ def dedup_keep_representatives(
 
     Scale shape: pairs are banded (never all-pairs), CC is O(log diameter)
     rounds over the pair graph only (near-dup clusters are tiny relative
-    to the corpus), and the final step is one broadcast-able left_anti
-    join against the drop-list (cluster members minus representatives).
+    to the corpus), and the final step is one left_anti join against the
+    drop-list (cluster members minus representatives). The drop-list is
+    O(dup_rate × corpus) rows — at training-corpus scale 30%+ near-dup
+    rates are normal, so it is NOT force-broadcast: AQE picks broadcast
+    when the built list is actually small and falls back to a shuffled
+    hash join when it isn't (a forced hint would OOM the driver).
     """
     from .canonicalize import connected_components
 
@@ -545,4 +549,4 @@ def dedup_keep_representatives(
         .filter(F.col("node") != F.col("rep"))
         .select(F.col("node").alias(id_col))
     )
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    return docs.join(drop, id_col, "left_anti")

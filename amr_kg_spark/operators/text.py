@@ -1,14 +1,21 @@
 """Text-analysis operators for training-data pipelines.
 
 All Catalyst-only (no UDFs): token counting, quality scoring, heuristic
-language ID, and rolling-hash document fingerprinting. Each has a matching
-DuckDB-SQL formulation in queries/datapipe.py so the driver verifies values,
-not just shapes.
+language ID, rolling-hash document fingerprinting, and Gopher-style
+repetition signals. Each has a matching DuckDB-SQL formulation in
+queries/datapipe.py so the driver verifies values, not just shapes.
+
+Scale shape: every signal is a pure projection over ``text``, so the
+whole family composes into ONE ``select`` over ONE scan via
+:func:`with_signals` — no self-joins, no shuffles (plan-asserted in
+tests/test_plans.py). The per-signal functions (``quality_score``,
+``lang_id``, ``repetition_signals``) are thin column-subset views of the
+same projection; Catalyst's ColumnPruning drops the unused expressions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
@@ -33,21 +40,70 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Cheap quality heuristics: length, mean word length, stopword ratio,
-    non-alphanumeric ratio, all-caps-word ratio. Score = weighted blend,
-    rounded for cross-engine comparability."""
-    toks = tokens_col(text_col)
-    n_tok = F.size(toks)
+def _top_run_length(sorted_toks: Column) -> Column:
+    """Count of the single most frequent element of an array, computed as
+    the longest equal-run in its SORTED form: one O(n log n) ``array_sort``
+    plus one O(n) ``aggregate`` pass. Replaces the round-3
+    ``transform(array_distinct(t), w -> size(filter(t, x == w)))`` form,
+    which was O(distinct x total) per document in interpreted HOF lambdas
+    (a 100k-token doc did ~10^9 comparisons inside one task)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_toks, init, merge, lambda acc: acc["best"])
+
+
+def with_signals(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """ALL text-quality signals as columns in ONE projection over ONE scan.
+
+    The token array and the n-gram array are materialized once
+    (``withColumn`` chains collapse into a single ProjectExec — Spark
+    re-evaluates lambda inputs per element otherwise, see
+    dedup.with_word_shingles), then every signal is an expression over
+    them. No joins, no exchanges: a corpus filter built on this reads the
+    corpus exactly once at 100 TB.
+
+    Adds: n_tokens, est_bpe_tokens, mean_word_len, stopword_ratio,
+    punct_ratio, quality, lang_pred, stopword_hits, dup_ngram_ratio,
+    dup_token_ratio, top_token_ratio.
+    """
+    t = F.col("__t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    step = (
+        docs.withColumn("__t", tokens_col(text_col))
+        .withColumn("__g", grams)
+        .withColumn("__ts", F.array_sort(F.col("__t")))
+    )
+    g = F.col("__g")
+    ts = F.col("__ts")
+
+    n_tok = F.size(t)
     n_chars = F.length(F.col(text_col))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
     n_nonalnum = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")
     )
-    mean_wordlen = F.when(n_tok > 0, F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    ) / n_tok).otherwise(F.lit(0.0))
+    mean_wordlen = F.when(
+        n_tok > 0,
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tok,
+    ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_nonalnum / n_chars).otherwise(F.lit(0.0))
     score = (
@@ -55,38 +111,108 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + stop_ratio * 0.3
         + (F.lit(1.0) - punct_ratio) * 0.3
     )
-    return docs.select(
-        "doc_id",
-        F.col(text_col).alias("text"),
+
+    # heuristic language id: stopword hits per language, argmax with
+    # deterministic tie-break (array_max on struct orders by hits then lang)
+    lang_scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        lang_scores.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*lang_scores))
+
+    top = _top_run_length(ts)
+
+    return step.select(
+        *docs.columns,
         n_tok.alias("n_tokens"),
+        F.ceil(n_chars / F.lit(4)).cast("long").alias("est_bpe_tokens"),
         F.round(mean_wordlen, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality"),
-    ).drop("text")
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("stopword_hits"),
+        F.when(
+            F.size(g) > 0,
+            F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+        F.when(
+            n_tok > 0,
+            F.round(1.0 - F.size(F.array_distinct(t)) / n_tok, 6),
+        ).otherwise(F.lit(0.0)).alias("dup_token_ratio"),
+        F.when(n_tok > 0, F.round(top / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality heuristics: length, mean word length, stopword ratio,
+    non-alphanumeric ratio. Score = weighted blend, rounded for
+    cross-engine comparability. Column-subset view of with_signals."""
+    return with_signals(docs, text_col).select(
+        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
+        "punct_ratio", "quality",
+    )
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count stopword hits per language, argmax with
     deterministic tie-break on language code; 'und' when nothing hits."""
-    toks = tokens_col(text_col)
-    scores = []
-    for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # array_max on struct orders by first field (hits) then lang — ties pick
-    # the LAST lang alphabetically under max; invert lang for determinism
-    best = F.array_max(F.array(*scores))
-    return docs.select(
-        "doc_id",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["hits"].alias("stopword_hits"),
+    return with_signals(docs, text_col).select(
+        "doc_id", "lang_pred", "stopword_hits"
     )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals — Catalyst-only:
+
+    - ``dup_ngram_ratio``: 1 - distinct/total n-gram shingles (0 = no
+      repeated n-gram; near 1 = boilerplate loops);
+    - ``dup_token_ratio``: 1 - distinct/total tokens;
+    - ``top_token_ratio``: share of the single most frequent token
+      (sorted-run-length, O(n log n) — see _top_run_length).
+
+    Standard pre-training quality gates (Rae et al., Gopher appendix A):
+    documents over thresholds on these are template/spam artifacts.
+    """
+    return with_signals(docs, text_col, n).select(
+        "doc_id", "dup_ngram_ratio", "dup_token_ratio", "top_token_ratio"
+    )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_dup_ngram: float = 0.6,
+    max_top_token: float = 0.5,
+    min_quality: float = 0.2,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Pre-training corpus quality gate: documents + all signals +
+    ``reject_reason`` (null = kept), in ONE projection over ONE scan —
+    literally a single pass; no self-joins, no exchanges before the
+    consumer (plan-asserted in tests/test_plans.py). Gate order is the
+    audit priority: too_short > repetitive > token_spam > low_quality >
+    wrong_lang (first failing gate names the reason)."""
+    sig = with_signals(docs, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("dup_ngram_ratio") > max_dup_ngram, F.lit("repetitive"))
+        .when(F.col("top_token_ratio") > max_top_token, F.lit("token_spam"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+    )
+    if langs:
+        reason = reason.when(~F.col("lang_pred").isin(langs), F.lit("wrong_lang"))
+    return sig.withColumn("reject_reason", reason)
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
@@ -102,51 +228,3 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFram
         lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, n), " ")),
     )
     return step.select("doc_id", F.array_min(shingles).alias("fingerprint"))
-
-
-def repetition_signals(
-    docs: DataFrame, text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Gopher-style within-document repetition signals — Catalyst-only:
-
-    - ``dup_ngram_ratio``: 1 - distinct/total n-gram shingles (0 = no
-      repeated n-gram; near 1 = boilerplate loops);
-    - ``dup_token_ratio``: 1 - distinct/total tokens;
-    - ``top_token_ratio``: share of the single most frequent token.
-
-    Standard pre-training quality gates (Rae et al., Gopher appendix A):
-    documents over thresholds on these are template/spam artifacts.
-    """
-    from .dedup import tokens_col
-
-    toks = tokens_col(text_col)
-    t = "__t"
-    step = docs.withColumn(t, toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(F.col(t), i, n), " "),
-    )
-    g = "__g"
-    step = step.withColumn(g, grams)
-    ntok = F.size(t)
-    # most-frequent-token count via aggregate over the distinct tokens
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(F.col(t)),
-            lambda w: F.size(F.filter(F.col(t), lambda x: x == w)),
-        )
-    )
-    return step.select(
-        "doc_id",
-        F.when(
-            F.size(g) > 0,
-            F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 6),
-        ).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
-        F.when(
-            ntok > 0,
-            F.round(1.0 - F.size(F.array_distinct(t)) / ntok, 6),
-        ).otherwise(F.lit(0.0)).alias("dup_token_ratio"),
-        F.when(ntok > 0, F.round(top / ntok, 6))
-        .otherwise(F.lit(0.0))
-        .alias("top_token_ratio"),
-    )

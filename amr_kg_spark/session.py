@@ -72,6 +72,26 @@ def stop_spark() -> None:
         active.stop()
 
 
+def _parse_byte_string(raw: str, default: int = 134217728) -> int:
+    """Parse Spark size confs like ``128m`` / ``1g`` / ``134217728`` /
+    ``64kb`` into bytes (Spark's JavaUtils.byteStringAsBytes semantics:
+    binary multipliers, optional trailing ``b``). Falls back to
+    ``default`` on anything unparseable — never strips the unit suffix
+    (``"128m"`` must mean 128 MiB, not 128 bytes)."""
+    s = str(raw).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    suffixes = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    if s and s[-1] in suffixes:
+        mult = suffixes[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
 def _est_scan_partitions(df) -> int | None:
     """Estimate the leaf scan's split count WITHOUT physical planning.
 
@@ -92,7 +112,7 @@ def _est_scan_partitions(df) -> int | None:
         raw = df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728"
         )
-        max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+        max_bytes = _parse_byte_string(raw)
     except Exception:
         max_bytes = 134217728
     total = 0

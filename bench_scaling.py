@@ -151,7 +151,12 @@ def interleaved(n_turns: int, rounds: int, lo: int = 8, hi: int = 32) -> None:
         tps, r2 = _fit(ns, mins)
         out[cores] = {"sizes": ns, "min_walls": mins,
                       "marginal_turns_per_sec": round(tps, 1), "r2": round(r2, 4)}
-    eff = out[hi]["marginal_turns_per_sec"] / out[lo]["marginal_turns_per_sec"] / 4
+    # normalize by the actual core ratio (lo/hi are CLI parameters)
+    eff = (
+        out[hi]["marginal_turns_per_sec"]
+        / out[lo]["marginal_turns_per_sec"]
+        / (hi / lo)
+    )
     summary = {
         "method": "per-size interleaved",
         "levels": [lo, hi],
@@ -240,7 +245,7 @@ def main() -> None:
 
     tp8 = udf[8]["marginal_turns_per_sec"]
     tp32 = udf[32]["marginal_turns_per_sec"]
-    eff = (tp32 / tp8) / 4
+    eff = (tp32 / tp8) / (32 / 8)
     print(
         json.dumps(
             {

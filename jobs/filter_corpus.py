@@ -38,29 +38,26 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("filter-corpus").getOrCreate()
 
-    from amr_kg_spark.operators.text import (
-        lang_id,
-        quality_score,
-        repetition_signals,
-    )
+    from amr_kg_spark.operators.text import corpus_filter
 
     docs = spark.read.parquet(args.input)
-    sig = (
-        docs.join(quality_score(docs).select("doc_id", "n_tokens", "quality"), "doc_id")
-        .join(repetition_signals(docs).select(
-            "doc_id", "dup_ngram_ratio", "top_token_ratio"), "doc_id")
-        .join(lang_id(docs).select("doc_id", "lang_pred"), "doc_id")
+    # one projection over one scan: corpus_filter composes every signal as
+    # a column expression — NO self-joins (the round-3 version joined three
+    # derived frames back on doc_id, i.e. four scans + three shuffles of
+    # the full corpus at 100 TB). Plan-asserted join-free in test_plans.py.
+    langs = (
+        [x.strip() for x in args.lang.split(",") if x.strip()]
+        if args.lang
+        else None
     )
-    reason = (
-        F.when(F.col("n_tokens") < args.min_tokens, F.lit("too_short"))
-        .when(F.col("dup_ngram_ratio") > args.max_dup_ngram, F.lit("repetitive"))
-        .when(F.col("top_token_ratio") > args.max_top_token, F.lit("token_spam"))
-        .when(F.col("quality") < args.min_quality, F.lit("low_quality"))
+    sig = corpus_filter(
+        docs,
+        min_tokens=args.min_tokens,
+        max_dup_ngram=args.max_dup_ngram,
+        max_top_token=args.max_top_token,
+        min_quality=args.min_quality,
+        langs=langs,
     )
-    if args.lang:
-        langs = [x.strip() for x in args.lang.split(",") if x.strip()]
-        reason = reason.when(~F.col("lang_pred").isin(langs), F.lit("wrong_lang"))
-    sig = sig.withColumn("reject_reason", reason)
 
     kept = sig.filter(F.col("reject_reason").isNull()).select(docs.columns)
     kept.write.mode("overwrite").parquet(args.output)

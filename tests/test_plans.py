@@ -139,3 +139,48 @@ def test_ivf_table_probe_is_partition_pruning(spark, tmp_path):
     assert [(r.vec_id, r.cosine) for r in tbl] == [
         (r.vec_id, r.cosine) for r in mem
     ]
+
+
+def test_corpus_filter_is_single_pass(spark):
+    """Round-3 anti-pattern fix: the corpus quality filter must be ONE
+    projection over ONE scan — no Join, no Exchange anywhere in the plan
+    (the old version joined three derived frames back on doc_id: four
+    scans + three shuffles of the full corpus at 100 TB)."""
+    from amr_kg_spark.operators.text import corpus_filter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = corpus_filter(docs, langs=["en", "de"])
+    plan = _plan(df)
+    for node in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    ):
+        assert node not in plan, "corpus filter must not self-join"
+    assert "Exchange" not in plan, "corpus filter must not shuffle"
+    # exactly one parquet scan of the documents table (formatted explain
+    # prints each node once in the tree and once in the detail section)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_top_token_ratio_bounded_on_long_doc(spark):
+    """The round-3 top-token expression was O(distinct x total) per doc in
+    interpreted HOF lambdas (~10^9 comparisons for a 100k-token doc). The
+    sorted-run-length rewrite is O(n log n): a 100k-token document must
+    finish in seconds, with the exact expected ratio."""
+    import time
+
+    from amr_kg_spark.operators.text import repetition_signals
+
+    # 100k tokens, 20k distinct, each appearing 5x except one appearing 6x
+    words = [f"w{i % 20000}" for i in range(100000)] + ["w7"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    row = repetition_signals(docs).collect()[0]
+    wall = time.monotonic() - t0
+    assert row["top_token_ratio"] == round(6 / 100001, 6)
+    assert row["dup_token_ratio"] == round(1 - 20000 / 100001, 6)
+    assert wall < 60, f"quadratic regression: {wall:.1f}s for a 100k-token doc"
