@@ -293,16 +293,49 @@ def load_reference_spark_tsv(
     ).dropDuplicates()
 
 
-def build_spark_assay_triples(
-    spark: SparkSession, data_dir: str = REF_DATA
+def load_offline_pubchem_alias(
+    spark: SparkSession, path: str | None = None
 ) -> DataFrame:
-    """Pathogen -ASSAY IN-> {SPARK | ChEMBL} triples from the real SPARK
-    export, with an EMPTY pubchem alias table (the reference names some
-    nodes via live PubChem REST; without it, new ChEMBL nodes fall back to
-    their chembl id — exactly the published dump's names — and
-    PubChem-endpoint edges are skipped). Identity per family: SPARK
-    endpoints by spark_id (dump SPARK nodes carry no name), ChEMBL
-    endpoints by lowercased key."""
+    """The pre-materialized PubChem alias table — SURVEY's prescription
+    for the REST half of entity naming: the reference names some nodes via
+    LIVE pubchempy calls (src/sources.py:105 ``synonyms[0]`` for
+    chembl+pubchem rows, :117 ``iupac_name`` for pubchem-only rows,
+    :166-175 DrugCentral). At 100 TB that is a broadcast-joined offline
+    vocabulary snapshot refreshed out-of-band, never a per-row REST call.
+
+    This snapshot (``data/pubchem_alias_snapshot.csv``, 16 rows) is
+    DERIVED FROM THE PUBLISHED DUMP's own node rows — the REST vocabulary
+    exactly as of the dump date, declared as such: ``synonym`` comes from
+    dump ChEMBL nodes carrying a PubChem ID prop, ``iupac_name`` from dump
+    PubChem nodes. Production swaps the file for a real PubChem bulk
+    extract; the join path is identical."""
+    if path is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "pubchem_alias_snapshot.csv",
+        )
+    return (
+        spark.read.option("header", True).csv(path)
+        .select("pubchem_id", "synonym", "iupac_name")
+    )
+
+
+def build_spark_assay_triples(
+    spark: SparkSession,
+    data_dir: str = REF_DATA,
+    alias: DataFrame | None = None,
+) -> DataFrame:
+    """Pathogen -ASSAY IN-> {SPARK | ChEMBL | PubChem} triples from the
+    real SPARK export, naming REST-dependent endpoints through the OFFLINE
+    alias snapshot (broadcast-joined inside spark_source_nodes — the J7
+    REST half done as a vocabulary table, src/sources.py:105,117).
+    Identity per family: SPARK endpoints by spark_id (dump SPARK nodes
+    carry no name), ChEMBL endpoints by lowercased name (synonym when the
+    alias provides one, chembl id otherwise), PubChem endpoints by IUPAC
+    name."""
     from .refgraph import (
         chembl_nodes,
         pathogen_nodes,
@@ -313,11 +346,10 @@ def build_spark_assay_triples(
     pathogen = read_csv(spark, f"{data_dir}/AMR/pathogen.csv")
     mic = load_reference_mic(spark, data_dir)
     spark_tsv = load_reference_spark_tsv(spark, data_dir)
-    empty_alias = spark.createDataFrame(
-        [], "pubchem_id string, synonym string, iupac_name string"
-    )
+    if alias is None:
+        alias = load_offline_pubchem_alias(spark)
     chembl = chembl_nodes(mic, pathogen)
-    branch = spark_source_nodes(spark_tsv, pathogen, chembl, empty_alias)
+    branch = spark_source_nodes(spark_tsv, pathogen, chembl, alias)
     nodes = (
         branch["SPARK"]
         .unionByName(branch["ChEMBL_new"])
@@ -326,12 +358,18 @@ def build_spark_assay_triples(
     )
     pkeys = pathogen_nodes(pathogen).select(F.col("key").alias("pkey"))
     edges = spark_assay_edges(spark_tsv, pkeys, nodes)
+    name_by_key = nodes.select(
+        F.col("label").alias("dst_label"),
+        F.col("key").alias("dst_key"),
+        F.col("name").alias("dst_name"),
+    ).dropDuplicates(["dst_label", "dst_key"])
     return (
-        edges.filter(F.col("dst_label") != "PubChem")
+        edges.join(F.broadcast(name_by_key), ["dst_label", "dst_key"], "left")
         .select(
             F.col("src_key").alias("subj"),
             F.col("rel").alias("pred"),
             F.when(F.col("dst_label") == "SPARK", F.col("dst_key"))
+            .when(F.col("dst_label") == "PubChem", F.col("dst_name"))
             .otherwise(F.lower("dst_key"))
             .alias("obj"),
             "dst_label",
@@ -343,11 +381,11 @@ def build_spark_assay_triples(
 def load_dump_spark_assay_triples(
     path: str = f"{REF_DATA}/dump/v1.0.csv",
 ) -> set:
-    """Distinct Pathogen->{SPARK|ChEMBL-id-named} ASSAY-IN triples from the
+    """Distinct Pathogen->{SPARK|ChEMBL|PubChem} ASSAY-IN triples from the
     dump, with the same identities as :func:`build_spark_assay_triples`
     (SPARK endpoint = its 'SPARK ID' prop; ChEMBL endpoint = lowercased
-    name); PubChem endpoints excluded (REST-named). Callers scope the
-    ChEMBL endpoints to the REST-independent subset."""
+    name; PubChem endpoint = its REST-era IUPAC name, reproducible offline
+    via the vendored alias snapshot)."""
     import csv
 
     with open(path, newline="", encoding="utf-8") as f:
@@ -372,4 +410,6 @@ def load_dump_spark_assay_triples(
             out.add((sname, "ASSAY IN", dspark, "SPARK"))
         elif dlbl == ":ChEMBL":
             out.add((sname, "ASSAY IN", (dname or "").lower(), "ChEMBL"))
+        elif dlbl == ":PubChem":
+            out.add((sname, "ASSAY IN", dname, "PubChem"))
     return out
