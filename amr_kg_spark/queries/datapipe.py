@@ -176,6 +176,48 @@ def q_lang_id(spark, sf):
     return X.lang_id(_docs(spark, sf))
 
 
+# corpus-filter gates (strict profile — every signal + several reject
+# reasons get non-zero support at sf0.01: 237 kept / 263 rejected)
+CF_MIN_TOKENS = 5
+CF_MAX_DUP_NGRAM = 0.3
+CF_MAX_TOP_TOKEN = 0.2
+CF_MIN_QUALITY = 0.55
+CF_LANGS = ("en",)
+
+
+def q_corpus_filter(spark, sf):
+    """The full corpus-quality gate as ONE driver row (variant-column style
+    merge of the former dp_quality + dp_lang_id rows plus the Gopher
+    repetition signals and the reject_reason chain): every signal column
+    and the gate decision are value-checked against DuckDB in one hash."""
+    return X.corpus_filter(
+        _docs(spark, sf),
+        min_tokens=CF_MIN_TOKENS,
+        max_dup_ngram=CF_MAX_DUP_NGRAM,
+        max_top_token=CF_MAX_TOP_TOKEN,
+        min_quality=CF_MIN_QUALITY,
+        langs=list(CF_LANGS),
+    ).select(
+        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
+        "punct_ratio", "quality", "lang_pred", "stopword_hits",
+        "dup_ngram_ratio", "dup_token_ratio", "top_token_ratio",
+        "reject_reason",
+    )
+
+
+def q_dedup_corpus(spark, sf):
+    """Corpus-level near-dup removal end-to-end (pairs -> connected
+    components -> min-id representative -> left_anti drop) with a full
+    value oracle: DuckDB recomputes the exact pair graph and closes it
+    with a recursive CTE."""
+    return D.dedup_keep_representatives(
+        _docs(spark, sf),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+        method="exact",
+    ).select("doc_id", "n_chars")
+
+
 def q_fingerprint(spark, sf):
     return X.fingerprint(_docs(spark, sf))
 
@@ -201,8 +243,8 @@ QUERIES = {
     "dp_ann_topk": q_ann_topk,
     "dp_ivf_topk": q_ivf_topk,
     "dp_token_count": q_token_count,
-    "dp_quality": q_quality,
-    "dp_lang_id": q_lang_id,
+    "dp_corpus_filter": q_corpus_filter,
+    "dp_dedup_corpus": q_dedup_corpus,
     "dp_fingerprint": q_fingerprint,
     "mm_media_features": q_media_features,
     "mm_frame_offsets": q_frame_offsets,
@@ -372,7 +414,7 @@ ORDER BY {_DOT} / ({_NORM_E} * {_NORM_Q}) DESC, e.vec_id ASC LIMIT 10
         f"SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens, "
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents"
     ),
-    "dp_quality": f"""
+    "dp_corpus_filter": f"""
 WITH t AS (
   SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_nonalnum
@@ -389,27 +431,79 @@ m AS (
               ELSE 0.0 END AS stopword_ratio,
          CASE WHEN n_chars > 0 THEN CAST(n_nonalnum AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
   FROM t
-)
-SELECT doc_id, n_tokens, round(mean_word_len, 6) AS mean_word_len,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
-             + (1.0 - punct_ratio) * 0.3, 6) AS quality
-FROM m
-""",
-    "dp_lang_id": f"""
-WITH scored AS (
-  SELECT d.doc_id,
+),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, greatest(len(toks) - {JACCARD_N - 1}, 1)),
+                        i -> array_to_string(toks[i:i+{JACCARD_N - 1}], ' ')) AS grams
+  FROM t
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+              ELSE 0.0 END AS dup_ngram_ratio,
+         CASE WHEN len(toks) > 0
+              THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+              ELSE 0.0 END AS dup_token_ratio
+  FROM g
+),
+topc AS (
+  SELECT doc_id, max(cnt) AS topcnt FROM (
+    SELECT doc_id, tok, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+lang AS (
+  SELECT t.doc_id,
          max(struct_pack(
-           hits := CAST(len(list_filter({_TOKS}, x -> list_contains(langs.sw, x))) AS INT),
+           hits := CAST(len(list_filter(t.toks, x -> list_contains(langs.sw, x))) AS INT),
            lang := langs.lang)) AS best
-  FROM documents d CROSS JOIN {_lang_values()}
-  GROUP BY d.doc_id
+  FROM t CROSS JOIN {_lang_values()}
+  GROUP BY t.doc_id
+),
+sig AS (
+  SELECT m.doc_id, m.n_tokens,
+         round(m.mean_word_len, 6) AS mean_word_len,
+         round(m.stopword_ratio, 6) AS stopword_ratio,
+         round(m.punct_ratio, 6) AS punct_ratio,
+         round(least(m.n_tokens / 100.0, 1.0) * 0.4 + m.stopword_ratio * 0.3
+               + (1.0 - m.punct_ratio) * 0.3, 6) AS quality,
+         CASE WHEN lang.best.hits > 0 THEN lang.best.lang ELSE 'und' END AS lang_pred,
+         lang.best.hits AS stopword_hits,
+         rep.dup_ngram_ratio, rep.dup_token_ratio,
+         CASE WHEN m.n_tokens > 0
+              THEN round(CAST(coalesce(topc.topcnt, 0) AS DOUBLE) / m.n_tokens, 6)
+              ELSE 0.0 END AS top_token_ratio
+  FROM m JOIN rep USING (doc_id) JOIN lang USING (doc_id)
+       LEFT JOIN topc USING (doc_id)
 )
-SELECT doc_id,
-       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
-       best.hits AS stopword_hits
-FROM scored
+SELECT sig.*,
+       CASE WHEN n_tokens < {CF_MIN_TOKENS} THEN 'too_short'
+            WHEN dup_ngram_ratio > {CF_MAX_DUP_NGRAM} THEN 'repetitive'
+            WHEN top_token_ratio > {CF_MAX_TOP_TOKEN} THEN 'token_spam'
+            WHEN quality < {CF_MIN_QUALITY} THEN 'low_quality'
+            WHEN lang_pred NOT IN ({", ".join(repr(l) for l in CF_LANGS)}) THEN 'wrong_lang'
+       END AS reject_reason
+FROM sig
+""",
+    "dp_dedup_corpus": f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_exact_jaccard_sql(JACCARD_THRESHOLD)})
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """,
     "dp_fingerprint": (
         f"SELECT doc_id, list_aggregate(list_transform("

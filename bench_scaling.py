@@ -30,6 +30,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 
+# executor Python workers resolve amr_kg_spark via PYTHONPATH, not the
+# driver's sys.path — required when the harness runs outside the repo cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CHILD_ENV = {
+    **os.environ,
+    "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+}
+
 
 def _plan(spark, detect, n_turns: int):
     from amr_kg_spark.fixtures import synth_transcripts
@@ -101,31 +109,149 @@ def child(cores: int, n_turns: int, variant: str) -> None:
     spark.stop()
 
 
-def child_one(cores: int, n_turns: int, variant: str) -> None:
+def child_one(cores: int, n_turns: int, variant: str, task_cpus: int = 1) -> None:
     """Measure ONE size in a fresh JVM and print its wall — the unit of the
-    per-size interleaved estimator (see main --interleaved)."""
+    per-size interleaved estimator (see main --interleaved). ``task_cpus``
+    > 1 keeps the pinned core count but divides the concurrent task (and
+    Arrow Python worker) count by that factor — the worker-pool isolation
+    knob of the --isolate experiment."""
     from amr_kg_spark.operators.mentions import detect_mentions, detect_mentions_jvm
     from amr_kg_spark.session import get_spark
 
     detect = detect_mentions if variant == "udf" else detect_mentions_jvm
-    spark = get_spark(app_name=f"scaling1-{variant}-{cores}", cores=cores)
+    extra = {"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else None
+    spark = get_spark(
+        app_name=f"scaling1-{variant}-{cores}", cores=cores, extra_conf=extra
+    )
     spark.sparkContext.setLogLevel("ERROR")
     _plan(spark, detect, 200_000).write.format("noop").mode("overwrite").save()
     t0 = time.monotonic()
     _plan(spark, detect, n_turns).write.format("noop").mode("overwrite").save()
     wall = round(time.monotonic() - t0, 3)
-    print(json.dumps({"cores": cores, "n_turns": n_turns, "wall": wall}))
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_turns": n_turns,
+                "wall": wall,
+                "task_cpus": task_cpus,
+            }
+        )
+    )
     spark.stop()
 
 
-def _run_child_one(cores: int, n_turns: int, variant: str) -> float:
-    cmd = [sys.executable, __file__, "--child-one", str(cores), str(n_turns), variant]
+def _run_child_one(
+    cores: int, n_turns: int, variant: str, task_cpus: int = 1
+) -> float:
+    cmd = [
+        sys.executable, __file__, "--child-one",
+        str(cores), str(n_turns), variant, str(task_cpus),
+    ]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=_CHILD_ENV)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     print(line, flush=True)
     return json.loads(line)["wall"]
+
+
+ISOLATE_LEVELS = (4, 8, 16, 32)
+
+
+def isolate(n_base: int, rounds: int) -> None:
+    """The round-4 saturation-isolation experiment: separate TOPOLOGY
+    (single-socket memory bandwidth) from PLAN (a scaling obstruction in
+    the job) by measuring the full marginal-throughput CURVE instead of
+    arguing from two points.
+
+    Three controlled comparisons, all per-size interleaved (every
+    measurement its own pinned fresh JVM, levels alternated within each
+    size so co-tenant windows hit all levels equally):
+
+    1. udf (Arrow pandas detector, cores Python workers) at 4/8/16/32
+       pinned cores — where does ITS curve bend?
+    2. jvm (regexp_extract_all, ZERO Python workers) at the same levels —
+       if the zero-Python variant bends at the same place, the bend is
+       memory-bus saturation, not the Python worker pool.
+    3. worker-count probe: udf at 32 pinned cores with spark.task.cpus=2
+       (16 concurrent tasks -> 16 Arrow workers on the SAME 32 cores) vs
+       task.cpus=1 (32 workers). Identical hardware, only the worker
+       count varies: if halving the pool barely moves throughput, worker
+       count is not the binding resource at 32 cores.
+
+    Per-level input sizes scale with the core count (n ∝ cores), so every
+    level's walls sit in the same range and the slope fit is equally
+    conditioned."""
+    sizes_by_level = {
+        lv: [int(m * n_base * lv / 32) for m in SIZE_MULTIPLIERS]
+        for lv in ISOLATE_LEVELS
+    }
+    walls: dict[tuple[str, int, int], list[float]] = {}
+    probe: dict[int, list[float]] = {1: [], 2: []}
+    probe_n = n_base  # one fixed size for the worker-count probe
+    for _ in range(rounds):
+        for i in range(len(SIZE_MULTIPLIERS)):
+            for lv in ISOLATE_LEVELS:
+                for variant in ("udf", "jvm"):
+                    n = sizes_by_level[lv][i]
+                    w = _run_child_one(lv, n, variant)
+                    walls.setdefault((variant, lv, n), []).append(w)
+        for tc in (1, 2):
+            probe[tc].append(_run_child_one(32, probe_n, "udf", task_cpus=tc))
+
+    curves: dict[str, dict[int, dict]] = {"udf": {}, "jvm": {}}
+    for variant in ("udf", "jvm"):
+        for lv in ISOLATE_LEVELS:
+            ns = sizes_by_level[lv]
+            mins = [min(walls[(variant, lv, n)]) for n in ns]
+            tps, r2 = _fit(ns, mins)
+            curves[variant][lv] = {
+                "sizes": ns,
+                "min_walls": mins,
+                "marginal_turns_per_sec": round(tps, 1),
+                "r2": round(r2, 4),
+            }
+
+    def eff(variant: str, lo: int, hi: int) -> float:
+        return round(
+            curves[variant][hi]["marginal_turns_per_sec"]
+            / curves[variant][lo]["marginal_turns_per_sec"]
+            / (hi / lo),
+            3,
+        )
+
+    summary = {
+        "method": "isolate: 4-level x 2-variant interleaved + worker probe",
+        "curves": curves,
+        "per_core_tps": {
+            v: {
+                lv: round(curves[v][lv]["marginal_turns_per_sec"] / lv, 1)
+                for lv in ISOLATE_LEVELS
+            }
+            for v in ("udf", "jvm")
+        },
+        "efficiency": {
+            v: {"4v16": eff(v, 4, 16), "8v32": eff(v, 8, 32)}
+            for v in ("udf", "jvm")
+        },
+        "worker_probe": {
+            "n_turns": probe_n,
+            "min_wall_32workers": min(probe[1]),
+            "min_wall_16workers": min(probe[2]),
+            "throughput_ratio_16v32_workers": round(
+                min(probe[1]) / min(probe[2]), 3
+            ),
+        },
+    }
+    print(json.dumps(summary))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALING_RUNS.md", "a") as f:
+        f.write(
+            "\n## isolation experiment run record (round 4)\n\n```json\n"
+            + json.dumps(summary)
+            + "\n```\n"
+        )
 
 
 def interleaved(n_turns: int, rounds: int, lo: int = 8, hi: int = 32) -> None:
@@ -178,7 +304,7 @@ def _run_child(cores: int, n_turns: int, variant: str) -> dict:
     cmd = [sys.executable, __file__, "--child", str(cores), str(n_turns), variant]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=_CHILD_ENV)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     print(line)
     return json.loads(line)
@@ -217,7 +343,14 @@ def main() -> None:
         child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--child-one":
-        child_one(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        child_one(
+            int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+            int(sys.argv[5]) if len(sys.argv) > 5 else 1,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
+        isolate(n, int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2")))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--interleaved":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
