@@ -123,6 +123,12 @@ def build_base_graph(spark: SparkSession, data_dir: str = REF_DATA):
         base_edges(t["person"])
         .unionByName(skill_includes_edges(t["skill"]))
         .unionByName(institute_supervises_edges(t["institute"], t["project"]))
+        # edge-instance distinct: the reference graph holds ONE relationship
+        # per identical (start, type, end) — e.g. two person rows sharing
+        # (institute, project_1) yield one SUPERVISES edge in the published
+        # dump (138 rows, not 145), verified byte-level in
+        # test_dump_bytes_base_families
+        .dropDuplicates()
     )
     src = nodes.select(
         F.col("label").alias("src_label"),

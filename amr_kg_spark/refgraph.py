@@ -958,6 +958,8 @@ def graph_dump(
     nodes: DataFrame,
     edges: DataFrame,
     edge_prop_cols: list[str] | None = None,
+    prop_keys: list[str] | None = None,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """The dump as ONE DataFrame in the reference's column discipline:
 
@@ -977,19 +979,25 @@ def graph_dump(
     over the curated graph dimensions (thousands of rows); the 100 TB
     fact tables leave through the table/parquet sinks, never this one.
     """
-    prop_keys = sorted(
-        {
-            r[0]
-            for r in nodes.select(
-                F.explode(F.map_keys("props")).alias("k")
-            ).distinct().collect()
-        }
-        | {"name"}
-    )
+    if prop_keys is None:
+        prop_keys = sorted(
+            {
+                r[0]
+                for r in nodes.select(
+                    F.explode(F.map_keys("props")).alias("k")
+                ).distinct().collect()
+            }
+            | {"name"}
+        )
     eprops = edge_prop_cols or DUMP_EDGE_PROPS
 
-    w = Window.orderBy("label", "key")
-    ided = nodes.withColumn("_id", F.row_number().over(w) - F.lit(1))
+    if ids is not None:
+        # caller-supplied (label, key, _id) — e.g. the published dump's own
+        # id assignment for byte-level diffs against it
+        ided = nodes.join(ids, ["label", "key"])
+    else:
+        w = Window.orderBy("label", "key")
+        ided = nodes.withColumn("_id", F.row_number().over(w) - F.lit(1))
 
     node_rows = ided.select(
         F.col("_id").cast("string").alias("_id"),
@@ -1073,3 +1081,100 @@ def write_graph_dump(
         .option("emptyValue", "")
         .csv(out_dir)
     )
+
+
+def apoc_dump_lines(
+    nodes: DataFrame,
+    edges: DataFrame,
+    prop_keys: list[str],
+    edge_prop_cols: list[str] | None = None,
+    ids: DataFrame | None = None,
+) -> DataFrame:
+    """Render the graph into the reference dump's EXACT byte format
+    (data/dump/v1.0.csv) — one ``line`` string per row, Catalyst only.
+    Cells are built positionally from the ``props`` map, so the dump's
+    case-colliding ``Name``/``name`` columns need no case-sensitive
+    resolver.
+
+    APOC's quoting convention (verified byte-for-byte against every base
+    row of the published dump in test_realdump_parity): a cell is either
+    QUOTED (non-null, ``"`` doubled, even when empty) or BARE-EMPTY
+    (null), and which of the two applies is decided by the ROW KIND, not
+    the value — node rows quote ``_id``, ``_labels`` and every node
+    property column and leave the edge columns bare; edge rows leave the
+    node columns bare and quote ``_start``/``_end``/``_type`` and every
+    edge property column.
+
+    ``ids``: optional (label, key, _id) assignment (e.g. the published
+    dump's own ids for byte diffs); defaults to graph_dump's dense
+    row_number ids."""
+    eprops = edge_prop_cols or DUMP_EDGE_PROPS
+
+    def q(c):
+        return F.concat(
+            F.lit('"'),
+            F.regexp_replace(F.coalesce(c, F.lit("")), '"', '""'),
+            F.lit('"'),
+        )
+
+    bare = F.lit("")
+    if ids is None:
+        w = Window.orderBy("label", "key")
+        ids = nodes.select("label", "key").withColumn(
+            "_id", (F.row_number().over(w) - F.lit(1)).cast("string")
+        )
+    ided = nodes.join(ids, ["label", "key"])
+
+    def prop_cell(k):
+        v = F.element_at("props", F.lit(k))
+        if k == "name":
+            v = F.coalesce(v, F.col("name"))
+        return q(v)
+
+    node_lines = ided.select(
+        F.concat_ws(
+            ",",
+            q(F.col("_id")),
+            q(F.concat(F.lit(":"), F.col("label"))),
+            *[prop_cell(k) for k in prop_keys],
+            *([bare] * (3 + len(eprops))),
+        ).alias("line")
+    )
+
+    has_eprops = "props" in edges.columns
+    edge_lines = (
+        edges.join(
+            ids.select(
+                F.col("label").alias("src_label"),
+                F.col("key").alias("src_key"),
+                F.col("_id").alias("_start_id"),
+            ),
+            ["src_label", "src_key"],
+        )
+        .join(
+            ids.select(
+                F.col("label").alias("dst_label"),
+                F.col("key").alias("dst_key"),
+                F.col("_id").alias("_end_id"),
+            ),
+            ["dst_label", "dst_key"],
+        )
+        .select(
+            F.concat_ws(
+                ",",
+                *([bare] * (2 + len(prop_keys))),
+                q(F.col("_start_id")),
+                q(F.col("_end_id")),
+                q(F.col("rel")),
+                *[
+                    q(
+                        F.element_at("props", F.lit(c))
+                        if has_eprops
+                        else F.lit(None).cast("string")
+                    )
+                    for c in eprops
+                ],
+            ).alias("line")
+        )
+    )
+    return node_lines.unionByName(edge_lines)

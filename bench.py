@@ -30,6 +30,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from amr_kg_spark.session import get_spark  # noqa: E402
 
+# round-3 recorded per-query medians (BENCH_r03.json, sf0.1/local[32]) —
+# the regression guard's baseline: a round-4+ change must not silently
+# double any query's cost. Guarded on the MIN-of-k estimator (robust to
+# this box's co-tenant windows) against 2x the r3 MEDIAN.
+R3_MEDIANS = {
+    "kg_triples": 1.87,
+    "kg_mentions": 1.487,
+    "kg_reconstruct": 0.434,
+    "tpch_q1": 0.51,
+    "tpch_q3": 0.695,
+    "tpch_q5": 1.502,
+    "dp_ngram_jaccard": 3.907,
+    "dp_simhash": 1.335,
+    "dp_cosine_topk": 0.72,
+    "dp_minhash_native": 1.891,
+    "dp_token_count": 0.228,
+}
+GUARD_FACTOR = 2.0
+
 HEADLINE = [
     # flagship KG construction path
     "kg_triples",
@@ -152,8 +171,22 @@ def main() -> None:
         "triples_per_sec": round(n_triples / triple_wall, 2),
         "flagship_turns_per_sec_marginal": turns_marginal,
     }
+    # regression guard (round-4 item 9): compare the min-of-k estimator at
+    # the reference SF against 2x the recorded round-3 median. Only
+    # meaningful at the recorded config (sf0.1); guard is skipped elsewhere.
+    regressions = {}
+    if sf == "0.1" and str(cores) == "32":
+        for name, r3 in R3_MEDIANS.items():
+            if name in times and times[name] > GUARD_FACTOR * r3:
+                regressions[name] = {"min": times[name], "r3_median": r3}
+    if regressions:
+        out["regressions"] = regressions
     print(json.dumps(out))
     spark.stop()
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_GUARD", "strict") == "strict":
+        print(f"BENCH GUARD: regression vs round-3 medians: {regressions}",
+              file=sys.stderr)
+        sys.exit(3)
 
 
 if __name__ == "__main__":
