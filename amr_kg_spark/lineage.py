@@ -266,8 +266,17 @@ class CatalogStageRunner:
 
     def metrics(self) -> DataFrame:
         """Stage-level rollup: rows, partitions, wall time, rows/sec —
-        same shape as StageRunner.metrics (runner-interchangeable)."""
-        lin = self.lineage()
+        same shape as StageRunner.metrics (runner-interchangeable).
+        Rolls up the LATEST committed version per (run_id, stage): a
+        force-re-snapshot replaces the table, so summing across versions
+        would double-count the live rows."""
+        from pyspark.sql import Window
+
+        lin = self.lineage().withColumn(
+            "__vmax",
+            F.max("version").over(Window.partitionBy("run_id", "stage")),
+        )
+        lin = lin.filter(F.col("version") == F.col("__vmax")).drop("__vmax")
         return (
             lin.groupBy("run_id", "stage")
             .agg(

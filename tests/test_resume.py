@@ -139,3 +139,63 @@ def test_catalog_runner_resume_and_partition_overwrite(spark):
         vers = {r.version for r in lin.filter(F.col("stage") == "turns").collect()}
         assert vers == {1, 2}
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_catalog_runner_column_order_and_orphan_lineage(spark):
+    """Round-4 audit fixes:
+
+    1. insertInto matches columns by POSITION and saveAsTable(partitionBy)
+       moves the partition column to the END of the table schema — a
+       build() whose partition column is NOT last must still land aligned
+       on the force/resume path (name-based realignment in run()).
+    2. lineage rows are appended before the commit row; a crash between
+       the two leaves orphan audit rows tagged with a version the
+       recovery re-run mints again — lineage()/metrics() must not see
+       them (commit-gated semi-join)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from amr_kg_spark.lineage import CatalogStageRunner
+
+    db = "amr_stages_order_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    with tempfile.TemporaryDirectory() as loc:
+        runner = CatalogStageRunner(spark, database=db, run_id="r1", location=loc)
+
+        # partition column 'part' FIRST, a value column after it
+        def build():
+            return spark.range(0, 30).select(
+                (F.col("id") % 3).cast("int").alias("part"),
+                (F.col("id") * 10).alias("val"),
+            )
+
+        out1 = runner.run("ordered", build, partition_by=["part"])
+        expect = {(r.part, r.val) for r in build().collect()}
+        assert {(r.part, r.val) for r in out1.collect()} == expect
+
+        # force re-run takes the insertInto path: values must stay aligned
+        # (positional insert would write val into part and vice versa)
+        out2 = runner.run("ordered", build, partition_by=["part"], force=True)
+        assert {(r.part, r.val) for r in out2.collect()} == expect
+        assert runner.committed_version("ordered") == 2
+
+        # orphan lineage: simulate the crash window by appending audit rows
+        # for a version that never got its commit row
+        orphan = spark.createDataFrame(
+            [("ghost", "ordered", 7, 999, 1, 3)],
+            "run_id string, stage string, partition_id int, rows long,"
+            " wall_ms long, version long",
+        ).select(  # match the lineage table column order
+            "run_id", "stage", "partition_id", "rows", "wall_ms", "version"
+        )
+        orphan.write.mode("append").format("parquet").saveAsTable(
+            runner._lineage()
+        )
+        lin = runner.lineage()
+        assert lin.filter("run_id = 'ghost'").count() == 0, (
+            "uncommitted audit rows must be invisible"
+        )
+        m = {r.stage: r.rows for r in runner.metrics().collect()}
+        assert m["ordered"] == 30, "metrics must not double-count versions"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
