@@ -184,3 +184,17 @@ def test_top_token_ratio_bounded_on_long_doc(spark):
     assert row["top_token_ratio"] == round(6 / 100001, 6)
     assert row["dup_token_ratio"] == round(1 - 20000 / 100001, 6)
     assert wall < 60, f"quadratic regression: {wall:.1f}s for a 100k-token doc"
+
+
+def test_aqe_empty_relation_early_exit(spark):
+    """P8: with AQE on (session default), a join against a
+    provably-empty side collapses at runtime — the executed plan carries
+    AQE's empty-relation propagation instead of running the full join."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    empty = docs.filter("doc_id < 0")  # statically unknown, empty at runtime
+    j = docs.join(empty.select("doc_id"), "doc_id")
+    assert j.collect() == []  # finalizes THIS df's adaptive plan
+    executed = j._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in executed or "EmptyRelation" in executed, (
+        "AQE should have replaced the join with an empty relation"
+    )
