@@ -1,0 +1,168 @@
+"""Corpus-preparation operators, value-checked against DuckDB with the
+same rigor as the driver's oracle gate (the 50-slot registry is full, so
+these verify here): normalization, PII scrubbing, sequence packing,
+deterministic stratified sampling."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from amr_kg_spark.operators.textprep import (
+    PII_PATTERNS,
+    normalize_text,
+    pack_sequences,
+    scrub_pii,
+    stratified_sample,
+)
+from tests.conftest import SF_SMALL
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    return con
+
+
+def test_normalize_text_matches_duckdb(spark):
+    got = {
+        (r.doc_id, r.text_norm)
+        for r in normalize_text(
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        ).select("doc_id", "text_norm").collect()
+    }
+    exp = set(
+        _duck().execute(
+            r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text,
+                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                        '\s+', ' ', 'g')) AS text_norm
+            FROM documents
+            """
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@example.org or call +49 30 1234 5678."),
+            (2, "server at 10.0.0.1 and 192.168.1.254; no pii here"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1
+    assert "jane.doe@example.org" not in rows[1].text_scrubbed
+    assert "<EMAIL>" in rows[1].text_scrubbed
+    assert "<PHONE>" in rows[1].text_scrubbed
+    assert rows[2].n_ipv4 == 2 and rows[2].text_scrubbed.count("<IP>") == 2
+    assert rows[3].text_scrubbed == "clean text"
+    # counts also match DuckDB's regex engine on the real corpus
+    got = {
+        (r.doc_id, r.n_email, r.n_ipv4)
+        for r in scrub_pii(
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        ).select("doc_id", "n_email", "n_ipv4").collect()
+    }
+    email_pat = PII_PATTERNS[0][1]
+    ip_pat = PII_PATTERNS[1][1]
+    exp = set(
+        _duck().execute(
+            f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{email_pat}')) AS n_email,
+                   len(regexp_extract_all(text, '{ip_pat}')) AS n_ipv4
+            FROM documents
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_pack_sequences_matches_duckdb_window(spark):
+    """The packing closed form vs an independent DuckDB window
+    formulation, over the real corpus token counts with 4 bins."""
+    from amr_kg_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    toks = token_count(docs).select("doc_id", "n_tokens")
+    packed = pack_sequences(toks, budget=256, num_bins=4)
+    got = {
+        (r.doc_id, r.pack_bin, r.seq_id, r.seq_offset)
+        for r in packed.collect()
+    }
+    # independent DuckDB derivation — xxhash64 replicated via the Spark
+    # side (hash values collected once), cumsum + floor in SQL
+    hashes = {
+        r.doc_id: r.h
+        for r in toks.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("h")
+        ).collect()
+    }
+    con = _duck()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, n_tokens INT, pack_bin BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [
+            (r.doc_id, r.n_tokens, hashes[r.doc_id])
+            for r in toks.collect()
+        ],
+    )
+    exp = set(
+        con.execute(
+            """
+            SELECT doc_id, pack_bin,
+                   pack_bin * (1::BIGINT << 40) + (cb // 256) AS seq_id,
+                   cb % 256 AS seq_offset
+            FROM (
+              SELECT doc_id, pack_bin,
+                     sum(n_tokens) OVER (PARTITION BY pack_bin
+                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_tokens AS cb
+              FROM t
+            )
+            """
+        ).fetchall()
+    )
+    assert got == exp
+    assert len(got) == toks.count()
+    # every sequence's docs fit contiguously: offsets within a seq are
+    # strictly increasing and below budget
+    assert packed.filter("seq_offset >= 256 or seq_offset < 0").count() == 0
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    fr = {"en": 0.5, "de": 0.1}
+    s1 = stratified_sample(docs, fr, stratum_col="lang")
+    s2 = stratified_sample(docs, fr, stratum_col="lang")
+    a = {r.doc_id for r in s1.collect()}
+    b = {r.doc_id for r in s2.collect()}
+    assert a == b, "sampling must be a pure function of the id"
+    # strata not in the mix are dropped; kept strata are roughly on-rate
+    kept = {r.lang: r["count"] for r in s1.groupBy("lang").count().collect()}
+    tot = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(kept) <= set(fr)
+    for lang, frac in fr.items():
+        if tot.get(lang, 0) >= 50:
+            rate = kept.get(lang, 0) / tot[lang]
+            assert abs(rate - frac) < 0.25, (lang, rate, frac)
+    # subset property: the 0.1 sample of a stratum is inside the 0.5 one
+    s_small = {
+        r.doc_id
+        for r in stratified_sample(docs, {"en": 0.1}, stratum_col="lang").collect()
+    }
+    s_big = {
+        r.doc_id
+        for r in stratified_sample(docs, {"en": 0.5}, stratum_col="lang").collect()
+    }
+    assert s_small <= s_big, "hash sampling must nest across fractions"
