@@ -136,3 +136,38 @@ def test_stream_dedup_turns_drops_replays(spark):
             out.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
         )
         assert dups == 0
+
+
+def test_stream_corpus_filter_matches_batch(spark):
+    """The corpus quality gate is a stateless single projection, so it
+    runs under Structured Streaming unchanged: filtering a file stream of
+    documents yields exactly the batch corpus_filter verdicts."""
+    from amr_kg_spark.operators.text import corpus_filter
+
+    with tempfile.TemporaryDirectory() as root:
+        ind, outd, ckpt = (os.path.join(root, x) for x in ("in", "out", "ckpt"))
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(ind)
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(ind)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ind)
+        )
+        sq = corpus_filter(stream, langs=["en"]).select(
+            "doc_id", "reject_reason"
+        )
+        run_available_now(sq, outd, ckpt)
+
+        got = {
+            (r.doc_id, r.reject_reason)
+            for r in spark.read.parquet(outd).collect()
+        }
+        expected = {
+            (r.doc_id, r.reject_reason)
+            for r in corpus_filter(docs, langs=["en"])
+            .select("doc_id", "reject_reason")
+            .collect()
+        }
+        assert got == expected and len(got) == docs.count()
