@@ -166,3 +166,35 @@ def test_stratified_sample_deterministic_and_proportional(spark):
         for r in stratified_sample(docs, {"en": 0.5}, stratum_col="lang").collect()
     }
     assert s_small <= s_big, "hash sampling must nest across fractions"
+
+
+def test_textprep_plans_are_scale_shaped(spark):
+    """Plan gates for the corpus-prep ops: normalize/scrub are pure
+    projections (zero exchanges); packing is exactly ONE exchange (the
+    bin hash) + one sort; sampling is a scan-side filter with no
+    shuffle and pruned columns."""
+    import re
+
+    from amr_kg_spark.operators.text import token_count
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+    p = plan(scrub_pii(normalize_text(docs)))
+    assert "Exchange" not in p
+    assert re.search(r"^\(\d+\) Scan parquet", p, re.M)
+
+    packed = pack_sequences(
+        token_count(docs).select("doc_id", "n_tokens"), budget=256, num_bins=8
+    )
+    p = plan(packed)
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert "Window" in p
+
+    p = plan(stratified_sample(docs, {"en": 0.5}, stratum_col="lang"))
+    assert "Exchange" not in p
+    assert "Filter" in p
