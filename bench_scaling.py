@@ -135,6 +135,7 @@ def child_one(cores: int, n_turns: int, variant: str, task_cpus: int = 1) -> Non
                 "n_turns": n_turns,
                 "wall": wall,
                 "task_cpus": task_cpus,
+                "variant": variant,
             }
         )
     )
