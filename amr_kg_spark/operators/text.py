@@ -64,6 +64,16 @@ def _top_run_length(sorted_toks: Column) -> Column:
     return F.aggregate(sorted_toks, init, merge, lambda acc: acc["best"])
 
 
+# every column with_signals appends; pre-existing columns with these names
+# are dropped first so the operator is idempotent under composition
+SIGNAL_COLS = (
+    "n_tokens", "est_bpe_tokens", "mean_word_len", "stopword_ratio",
+    "punct_ratio", "quality", "lang_pred", "stopword_hits",
+    "dup_ngram_ratio", "dup_token_ratio", "top_token_ratio",
+)
+_TMP_COLS = ("__t", "__g", "__ts")
+
+
 def with_signals(
     docs: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -127,8 +137,15 @@ def with_signals(
 
     top = _top_run_length(ts)
 
+    # composing over a frame that already carries signal columns (e.g.
+    # re-running over corpus_filter output) must not produce duplicate/
+    # ambiguous names: pre-existing signal columns are replaced, and the
+    # __t/__g/__ts temporaries never leak out
+    base_cols = [
+        c for c in docs.columns if c not in SIGNAL_COLS and c not in _TMP_COLS
+    ]
     return step.select(
-        *docs.columns,
+        *base_cols,
         n_tok.alias("n_tokens"),
         F.ceil(n_chars / F.lit(4)).cast("long").alias("est_bpe_tokens"),
         F.round(mean_wordlen, 6).alias("mean_word_len"),

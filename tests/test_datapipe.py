@@ -297,3 +297,22 @@ def test_repetition_signals(spark):
     assert out[3].dup_ngram_ratio == round(1 - 3 / 7, 6)
     assert out[3].dup_token_ratio == round(1 - 3 / 9, 6)
     assert out[3].top_token_ratio == round(3 / 9, 6)
+
+
+def test_with_signals_idempotent_under_composition(spark):
+    """Re-running with_signals over a frame that already carries signal
+    columns (e.g. corpus_filter output fed back in) must replace them, not
+    produce duplicate/ambiguous names (round-4 ADVICE #1)."""
+    from amr_kg_spark.operators.text import SIGNAL_COLS, with_signals
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    once = with_signals(docs)
+    twice = with_signals(once)
+    assert len(twice.columns) == len(set(twice.columns)), twice.columns
+    assert twice.columns == once.columns
+    for c in SIGNAL_COLS:
+        assert twice.columns.count(c) == 1
+    # and the values are stable: signals are a function of text only
+    a = {tuple(r) for r in once.select("doc_id", *SIGNAL_COLS).collect()}
+    b = {tuple(r) for r in twice.select("doc_id", *SIGNAL_COLS).collect()}
+    assert a == b

@@ -86,6 +86,100 @@ def test_scrub_pii_replaces_and_counts(spark):
     assert got == exp
 
 
+def test_phone_scrub_precision(spark):
+    """The phone pattern must catch real phone formats and MUST NOT eat
+    dates, datetimes, id lists or version strings (round-4 verdict item
+    #4: the old any-digit-run pattern silently corrupted such text)."""
+    scrubbed = [
+        "+49 30 1234 5678",
+        "(030) 1234-5678",
+        "555-123-4567",
+        "+1 (800) 555 0199",
+        "800.555.0199",
+    ]
+    survives = [
+        "released 2026-08-17",
+        "timestamp 2026-08-17 01:02",
+        "ids 12, 34, 56, 78, 90, 12, 34",
+        "version 10.2.3.4000 of the lib",
+        "order 2026 08 17 01 02 03",
+        "pi to 9 places 3.141592653",
+    ]
+    rows = [(i, t) for i, t in enumerate(scrubbed + survives)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    for i, t in enumerate(scrubbed):
+        assert got[i].n_phone >= 1, f"missed phone: {t!r}"
+        assert "<PHONE>" in got[i].text_scrubbed, t
+    for j, t in enumerate(survives, start=len(scrubbed)):
+        assert got[j].n_phone == 0, f"false positive on: {t!r}"
+        assert got[j].text_scrubbed == t, t
+    # the pattern is RE2-safe by design — DuckDB replays it identically
+    # (this is what lets the dp_textprep driver row value-check the scrub)
+    phone_pat = PII_PATTERNS[2][1]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = dict(
+        con.execute(
+            f"SELECT doc_id, len(regexp_extract_all(text, '{phone_pat}')) FROM t"
+        ).fetchall()
+    )
+    assert exp == {i: r.n_phone for i, r in got.items()}
+
+
+def test_normalize_text_nfc_matches_python_oracle(spark):
+    """Optional NFC path: batched Arrow pandas_udf vs unicodedata directly;
+    plan stays ArrowEvalPython-only with zero exchanges."""
+    import re
+    import unicodedata
+
+    fixtures = [
+        (1, "Café du Monde"),          # decomposed e + combining acute
+        (2, "Café du Monde"),            # composed — must collapse equal
+        (3, "Ångström  units"),  # Å + ö decomposed, ws collapse
+        (4, "ṩ vs ṩ"),      # multi-combining-mark ordering
+        (5, None),
+    ]
+    docs = spark.createDataFrame(fixtures, "doc_id long, text string")
+    out = normalize_text(docs, nfc=True)
+    got = {r.doc_id: r.text_norm for r in out.collect()}
+    for doc_id, raw in fixtures:
+        if raw is None:
+            assert got[doc_id] is None
+            continue
+        exp = re.sub(r"\s+", " ", unicodedata.normalize("NFC", raw)).strip()
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+    assert got[1] == got[2], "decomposed and composed forms must unify"
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan, "must be Arrow-batched, not per-row"
+
+
+def test_pack_sequences_deterministic_across_cluster_widths():
+    """pack_bin/seq_id/seq_offset are a pure function of the data: two
+    separate JVMs at local[2] and local[8] (different defaultParallelism)
+    must produce byte-identical assignments with the DEFAULT num_bins."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    outs = []
+    for cores in ("2", "8"):
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "tests", "_pack_child.py"), cores],
+            capture_output=True, text=True, check=True, env=env, timeout=300,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("PACKRESULT:")][-1]
+        outs.append(line)
+    assert outs[0] == outs[1]
+
+
 def test_pack_sequences_matches_duckdb_window(spark):
     """The packing closed form vs an independent DuckDB window
     formulation, over the real corpus token counts with 4 bins."""
