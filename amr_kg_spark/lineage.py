@@ -269,7 +269,15 @@ class CatalogStageRunner:
         same shape as StageRunner.metrics (runner-interchangeable).
         Rolls up the LATEST committed version per (run_id, stage): a
         force-re-snapshot replaces the table, so summing across versions
-        would double-count the live rows."""
+        would double-count the live rows.
+
+        Contract: assumes build() produces the FULL stage output each
+        version (the runner's overwrite-by-partition is crash-recovery
+        within one version, not incremental versioning). If a forced
+        re-run ever rebuilt only a subset of partitions, the live table
+        would mix versions and this latest-version rollup would
+        under-report it — roll up max-version per (stage, partition)
+        instead if that mode is ever added."""
         from pyspark.sql import Window
 
         lin = self.lineage().withColumn(

@@ -18,6 +18,8 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
+from ..operators import textprep as TP
+from .xxh64_sql import pmod, spark_xxhash64_long_int_sql, spark_xxhash64_long_sql
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.2
@@ -222,6 +224,73 @@ def q_fingerprint(spark, sf):
     return X.fingerprint(_docs(spark, sf))
 
 
+def q_text_basic(spark, sf):
+    """token_count + fingerprint under ONE driver row (variant-column
+    merge, same pattern as dp_minhash_pairs/dp_corpus_filter) — frees a
+    50-slot registry seat for dp_textprep while keeping both operators
+    value-oracled."""
+    docs = _docs(spark, sf)
+    tc = X.token_count(docs).select(
+        F.lit("tokens").alias("variant"),
+        "doc_id",
+        "n_tokens",
+        "est_bpe_tokens",
+        F.lit(None).cast("string").alias("fingerprint"),
+    )
+    fp = X.fingerprint(docs).select(
+        F.lit("fingerprint").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.lit(None).cast("long").alias("est_bpe_tokens"),
+        "fingerprint",
+    )
+    return tc.unionByName(fp)
+
+
+# textprep driver-row parameters (shared by the Spark query and the oracle)
+TP_PACK_BUDGET = 256
+TP_PACK_BINS = 8
+TP_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+
+
+def q_textprep(spark, sf):
+    """All four corpus-preparation operators (normalize / PII scrub /
+    sequence packing / stratified sampling) under ONE driver row with a
+    FULL value oracle — including the hash-dependent pack_bin/seq_id and
+    the sampling keep-predicate, via the bit-exact DuckDB replica of
+    Spark's xxhash64 in queries/xxh64_sql.py (round-4 verdict item #2)."""
+    docs = _docs(spark, sf)
+    nulls = [F.lit(None).cast("long").alias(c) for c in ("v1", "v2", "v3")]
+    norm = TP.normalize_text(docs).select(
+        F.lit("norm").alias("variant"), "doc_id",
+        F.col("text_norm").alias("s"), *nulls,
+    )
+    scrub = TP.scrub_pii(docs).select(
+        F.lit("scrub").alias("variant"), "doc_id",
+        F.col("text_scrubbed").alias("s"),
+        F.col("n_email").cast("long").alias("v1"),
+        F.col("n_ipv4").cast("long").alias("v2"),
+        F.col("n_phone").cast("long").alias("v3"),
+    )
+    toks = X.token_count(docs).select("doc_id", "n_tokens")
+    pack = TP.pack_sequences(
+        toks, budget=TP_PACK_BUDGET, num_bins=TP_PACK_BINS
+    ).select(
+        F.lit("pack").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("s"),
+        F.col("pack_bin").cast("long").alias("v1"),
+        F.col("seq_id").cast("long").alias("v2"),
+        F.col("seq_offset").cast("long").alias("v3"),
+    )
+    samp = TP.stratified_sample(
+        docs, TP_SAMPLE_FRACTIONS, stratum_col="lang"
+    ).select(
+        F.lit("sample").alias("variant"), "doc_id",
+        F.col("lang").alias("s"), *nulls,
+    )
+    return norm.unionByName(scrub).unionByName(pack).unionByName(samp)
+
+
 # --- multimodal plumbing --------------------------------------------------------
 def q_media_features(spark, sf):
     return M.extract_features(M.synth_media(spark, sf)).select(
@@ -242,10 +311,10 @@ QUERIES = {
     "dp_cosine_topk": q_cosine_topk,
     "dp_ann_topk": q_ann_topk,
     "dp_ivf_topk": q_ivf_topk,
-    "dp_token_count": q_token_count,
+    "dp_text_basic": q_text_basic,
     "dp_corpus_filter": q_corpus_filter,
     "dp_dedup_corpus": q_dedup_corpus,
-    "dp_fingerprint": q_fingerprint,
+    "dp_textprep": q_textprep,
     "mm_media_features": q_media_features,
     "mm_frame_offsets": q_frame_offsets,
 }
@@ -410,10 +479,19 @@ SELECT e.vec_id, round({_DOT} / ({_NORM_E} * {_NORM_Q}), 6) AS cosine
 FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY {_DOT} / ({_NORM_E} * {_NORM_Q}) DESC, e.vec_id ASC LIMIT 10
 """,
-    "dp_token_count": (
-        f"SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens, "
-        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens FROM documents"
+    "dp_text_basic": (
+        f"SELECT 'tokens' AS variant, doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens, "
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens, "
+        "CAST(NULL AS VARCHAR) AS fingerprint FROM documents "
+        "UNION ALL "
+        "SELECT 'fingerprint' AS variant, doc_id, CAST(NULL AS INTEGER) AS n_tokens, "
+        "CAST(NULL AS BIGINT) AS est_bpe_tokens, "
+        f"list_aggregate(list_transform("
+        f"generate_series(1, greatest(len({_TOKS}) - 4, 1)), "
+        f"i -> md5(array_to_string(({_TOKS})[i:i+4], ' '))), 'min') AS fingerprint "
+        "FROM documents"
     ),
+    "dp_textprep": None,  # filled below (needs the staged xxhash64 SQL)
     "dp_corpus_filter": f"""
 WITH t AS (
   SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars,
@@ -505,12 +583,6 @@ dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
 SELECT doc_id, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """,
-    "dp_fingerprint": (
-        f"SELECT doc_id, list_aggregate(list_transform("
-        f"generate_series(1, greatest(len({_TOKS}) - 4, 1)), "
-        f"i -> md5(array_to_string(({_TOKS})[i:i+4], ' '))), 'min') AS fingerprint "
-        "FROM documents"
-    ),
     "mm_media_features": (
         "SELECT doc_id AS media_id, "
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -527,3 +599,81 @@ FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
 WHERE CAST(doc_id % 3 AS INT) = 2
 """,
 }
+
+
+def _textprep_sql() -> str:
+    """dp_textprep oracle: the four corpus-prep variants as one UNION ALL.
+    The pack and sample variants replicate Spark's xxhash64 bit-exactly in
+    staged DuckDB SQL (queries/xxh64_sql.py), so bin assignment, seq_id
+    arithmetic and the sampling keep-predicate are all value-checked —
+    not just row counts."""
+    norm = (
+        "SELECT 'norm' AS variant, doc_id, "
+        r"trim(regexp_replace(regexp_replace(text, "
+        r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), "
+        r"'\s+', ' ', 'g')) AS s, "
+        "CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2, "
+        "CAST(NULL AS BIGINT) AS v3 FROM documents"
+    )
+
+    # scrub: counts and replacements are CHAINED exactly as the operator
+    # chains them (email on raw text, ipv4 on email-scrubbed, phone on
+    # email+ip-scrubbed)
+    em, ip, ph = (p for _, p, _ in TP.PII_PATTERNS)
+    scrub = f"""
+SELECT 'scrub' AS variant, doc_id, t3 AS s, n_email AS v1, n_ipv4 AS v2, n_phone AS v3
+FROM (
+  SELECT *, CAST(len(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS n_phone,
+         regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS t3
+  FROM (
+    SELECT *, CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_ipv4,
+           regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+    FROM (
+      SELECT doc_id, CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    )
+  )
+)
+"""
+
+    toks = f"SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents"
+    hashed = spark_xxhash64_long_sql(toks, "doc_id", "hh")
+    binned = (
+        f"SELECT doc_id, n_tokens, {pmod('hh', TP_PACK_BINS)} AS pack_bin "
+        f"FROM ({hashed})"
+    )
+    pack = f"""
+SELECT 'pack' AS variant, doc_id, CAST(NULL AS VARCHAR) AS s,
+       CAST(pack_bin AS BIGINT) AS v1,
+       CAST(pack_bin * CAST('1099511627776' AS BIGINT) + cb // {TP_PACK_BUDGET} AS BIGINT) AS v2,
+       CAST(cb % {TP_PACK_BUDGET} AS BIGINT) AS v3
+FROM (
+  SELECT doc_id, pack_bin,
+         sum(n_tokens) OVER (PARTITION BY pack_bin ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+  FROM ({binned})
+)
+"""
+
+    shashed = spark_xxhash64_long_int_sql(
+        "SELECT doc_id, lang FROM documents", "doc_id", 42, "hh"
+    )
+    frac = " ".join(
+        ["CASE"]
+        + [
+            f"WHEN lang = '{k}' THEN {v}"
+            for k, v in sorted(TP_SAMPLE_FRACTIONS.items())
+        ]
+        + ["ELSE 0.0 END"]
+    )
+    sample = f"""
+SELECT 'sample' AS variant, doc_id, lang AS s,
+       CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({shashed})
+WHERE {pmod('hh', 1 << 30)} < CAST(trunc(({frac}) * 1073741824) AS BIGINT)
+"""
+    return " UNION ALL ".join(f"({q})" for q in (norm, scrub, pack, sample))
+
+
+ORACLES["dp_textprep"] = _textprep_sql()

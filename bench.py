@@ -77,12 +77,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from amr_kg_spark.queries import all_queries
-    from amr_kg_spark.queries.datapipe import q_minhash_native
+    from amr_kg_spark.queries.datapipe import q_minhash_native, q_token_count
 
     queries, _ = all_queries()
-    # benched standalone; its driver-registry surface lives inside the
-    # merged dp_minhash_pairs row
+    # benched standalone; their driver-registry surfaces live inside the
+    # merged dp_minhash_pairs / dp_text_basic rows
     queries["dp_minhash_native"] = q_minhash_native
+    queries["dp_token_count"] = q_token_count
     spark = get_spark(app_name="amr-kg-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
