@@ -1,12 +1,21 @@
 """Corpus-preparation operators for training-data pipelines — the steps
-between raw crawl and tokenizer: normalization, PII scrubbing, sequence
-packing, deterministic sampling. All Catalyst-only (no UDFs); each has a
-DuckDB cross-check in tests/test_textprep.py (same rigor as the driver's
-oracle gate; the 50-slot registry is full, so these verify in pytest).
+between raw crawl and tokenizer: normalization (optionally NFC), PII
+scrubbing, sequence packing (optionally shuffled order), deterministic
+sampling, and token-budget curriculum mixing. Catalyst-only except the
+opt-in NFC pandas_udf; the whole family is value-checked against DuckDB
+both in tests/test_textprep.py and as the driver's merged `dp_textprep`
+registry row (hash-dependent parts via the bit-exact xxhash64 replica in
+queries/xxh64_sql.py).
 
 Scale shape: normalize/scrub are pure projections (zero shuffles);
 packing is one repartition + one window pass over the chosen order;
-sampling is a filter on a deterministic hash (pushable, no shuffle).
+sampling is a filter on a deterministic hash (pushable, no shuffle);
+mixing is one exchange + one window pass per stratum set.
+
+Determinism contract (shared by packing, sampling, mixing): outputs are
+pure functions of (ids, values, parameters) — never of cluster width,
+partition count or retry history — so a training mix reproduces exactly
+across resumes and differently-sized clusters.
 """
 
 from __future__ import annotations
@@ -96,6 +105,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     order_col: str | None = None,
     num_bins: int = 1024,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: documents are concatenated into a
     contiguous token stream in a deterministic order and the stream is
@@ -130,10 +140,18 @@ def pack_sequences(
     binned = docs.withColumn(
         "pack_bin", F.pmod(F.xxhash64(F.col(id_col)), F.lit(bins))
     )
-    order = order_col or id_col
+    if shuffle_seed is not None:
+        # deterministic training-order shuffle: the stream concatenates in
+        # xxhash64(id, seed) order instead of order_col — same purity
+        # contract (epoch order is a function of ids + seed, reproducible
+        # on resume), no extra pass (the order expression feeds the same
+        # window sort)
+        order_expr = F.xxhash64(F.col(id_col), F.lit(shuffle_seed))
+    else:
+        order_expr = F.col(order_col or id_col)
     w = (
         Window.partitionBy("pack_bin")
-        .orderBy(F.col(order), F.col(id_col))
+        .orderBy(order_expr, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
@@ -170,3 +188,50 @@ def stratified_sample(
     frac = F.coalesce(mapping[F.col(stratum_col)], F.lit(0.0))
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
     return docs.filter(bucket < (frac * m).cast("long"))
+
+
+def mix_to_token_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum mixing to ABSOLUTE token budgets: per stratum, keep
+    documents in deterministic ``xxhash64(id, seed)`` order until the
+    stratum's token budget is reached (the document that crosses the
+    boundary is kept, so each stratum delivers >= its budget when enough
+    tokens exist). Where :func:`stratified_sample` hits a RATE, this hits
+    a target token COUNT per source — the "mix N billion tokens of code
+    with M billion of web text" step of assembling a pre-training corpus.
+
+    Deterministic: the hash order is a pure function of (id, seed), so
+    the selected set is identical across retries, resumes and cluster
+    widths — rescaling a budget only extends/truncates the same ordered
+    stream (nesting property, like the sampler's fraction nesting).
+
+    Scale shape: one hash exchange on ``stratum_col`` + one window pass
+    (cumulative sum in hash order) + a filter — no driver loop, no
+    collect. Strata absent from ``budgets`` get budget 0 (dropped).
+    Skew note: a single giant stratum serializes its window into one
+    task; at 100 TB, split hot strata with a composite key (stratum,
+    xxhash64(id) % k) and give each shard budget/k — same contract, k
+    parallel streams."""
+    mapping = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    budget = F.coalesce(mapping[F.col(stratum_col)], F.lit(0)).cast("long")
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return (
+        docs.withColumn("__cb", cum_before)
+        .filter(F.col("__cb") < budget)
+        .withColumn("mix_tokens_before", F.col("__cb"))
+        .drop("__cb")
+    )

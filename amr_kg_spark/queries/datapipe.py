@@ -251,14 +251,16 @@ def q_text_basic(spark, sf):
 TP_PACK_BUDGET = 256
 TP_PACK_BINS = 8
 TP_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+TP_MIX_BUDGETS = {"en": 2000, "de": 500}
 
 
 def q_textprep(spark, sf):
-    """All four corpus-preparation operators (normalize / PII scrub /
-    sequence packing / stratified sampling) under ONE driver row with a
-    FULL value oracle — including the hash-dependent pack_bin/seq_id and
-    the sampling keep-predicate, via the bit-exact DuckDB replica of
-    Spark's xxhash64 in queries/xxh64_sql.py (round-4 verdict item #2)."""
+    """All five corpus-preparation operators (normalize / PII scrub /
+    sequence packing / stratified sampling / token-budget curriculum mix)
+    under ONE driver row with a FULL value oracle — including the
+    hash-dependent pack_bin/seq_id, the sampling keep-predicate and the
+    mix's hash-order cumulative budget, via the bit-exact DuckDB replica
+    of Spark's xxhash64 in queries/xxh64_sql.py (round-4 verdict item #2)."""
     docs = _docs(spark, sf)
     nulls = [F.lit(None).cast("long").alias(c) for c in ("v1", "v2", "v3")]
     norm = TP.normalize_text(docs).select(
@@ -288,7 +290,25 @@ def q_textprep(spark, sf):
         F.lit("sample").alias("variant"), "doc_id",
         F.col("lang").alias("s"), *nulls,
     )
-    return norm.unionByName(scrub).unionByName(pack).unionByName(samp)
+    mix = TP.mix_to_token_budget(
+        docs.select(
+            "doc_id", "lang", F.size(D.tokens_col("text")).alias("n_tokens")
+        ),
+        TP_MIX_BUDGETS,
+        stratum_col="lang",
+    ).select(
+        F.lit("mix").alias("variant"), "doc_id",
+        F.col("lang").alias("s"),
+        F.col("mix_tokens_before").cast("long").alias("v1"),
+        F.col("n_tokens").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return (
+        norm.unionByName(scrub)
+        .unionByName(pack)
+        .unionByName(samp)
+        .unionByName(mix)
+    )
 
 
 # --- multimodal plumbing --------------------------------------------------------
@@ -673,7 +693,37 @@ SELECT 'sample' AS variant, doc_id, lang AS s,
 FROM ({shashed})
 WHERE {pmod('hh', 1 << 30)} < CAST(trunc(({frac}) * 1073741824) AS BIGINT)
 """
-    return " UNION ALL ".join(f"({q})" for q in (norm, scrub, pack, sample))
+
+    # mix: per-stratum token budgets consumed in xxhash64(id, 42) order —
+    # the same chained-lane hash as sampling, but driving a cumulative-sum
+    # window rather than a keep-rate predicate
+    mhashed = spark_xxhash64_long_int_sql(
+        f"SELECT doc_id, lang, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents",
+        "doc_id", 42, "hh",
+    )
+    mix_budget = " ".join(
+        ["CASE"]
+        + [
+            f"WHEN lang = '{k}' THEN {int(v)}"
+            for k, v in sorted(TP_MIX_BUDGETS.items())
+        ]
+        + ["ELSE 0 END"]
+    )
+    mix = f"""
+SELECT 'mix' AS variant, doc_id, lang AS s,
+       CAST(cb AS BIGINT) AS v1, CAST(n_tokens AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY hh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+  FROM ({mhashed})
+)
+WHERE cb < ({mix_budget})
+"""
+    return " UNION ALL ".join(
+        f"({q})" for q in (norm, scrub, pack, sample, mix)
+    )
 
 
 ORACLES["dp_textprep"] = _textprep_sql()

@@ -1,7 +1,10 @@
-"""Corpus-preparation operators, value-checked against DuckDB with the
-same rigor as the driver's oracle gate (the 50-slot registry is full, so
-these verify here): normalization, PII scrubbing, sequence packing,
-deterministic stratified sampling."""
+"""Corpus-preparation operators: normalization (+NFC), PII scrubbing
+(precision fixtures), sequence packing (cross-JVM determinism, shuffle
+order), stratified sampling, token-budget curriculum mixing. Since round
+5 the whole family ALSO verifies under the driver's oracle gate as the
+merged `dp_textprep` registry row (xxhash64 replicated bit-exact in
+DuckDB, queries/xxh64_sql.py); these tests keep the faster per-operator
+loops and the properties SQL can't express (subprocess JVMs, plans)."""
 
 from __future__ import annotations
 
@@ -291,3 +294,107 @@ def test_textprep_plans_are_scale_shaped(spark):
     p = plan(stratified_sample(docs, {"en": 0.5}, stratum_col="lang"))
     assert "Exchange" not in p
     assert "Filter" in p
+
+
+def test_mix_to_token_budget_semantics(spark):
+    """Budget floor, nesting across budgets, and determinism — plus a
+    pure-Python replay of the hash order (xxh64 replica) as the oracle."""
+    from amr_kg_spark.operators.text import token_count
+    from amr_kg_spark.operators.textprep import mix_to_token_budget
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    toks = (
+        token_count(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens")
+    )
+    budgets = {"en": 1500, "de": 400}
+    kept = mix_to_token_budget(toks, budgets, stratum_col="lang")
+    rows = kept.collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    base = {(r.doc_id, r.lang, r.n_tokens) for r in toks.collect()}
+    total_by_lang: dict = {}
+    for _, lang, n in base:
+        total_by_lang[lang] = total_by_lang.get(lang, 0) + n
+    assert set(by_lang) <= set(budgets)
+    for lang, rs in by_lang.items():
+        got = sum(r.n_tokens for r in rs)
+        if total_by_lang[lang] >= budgets[lang]:
+            # budget is a floor; overshoot bounded by the crossing doc
+            assert got >= budgets[lang]
+            assert got - max(r.n_tokens for r in rs) < budgets[lang]
+        else:
+            assert got == total_by_lang[lang], "keep everything if short"
+    # nesting: half budgets select a subset
+    small = {
+        r.doc_id
+        for r in mix_to_token_budget(
+            toks, {"en": 700, "de": 200}, stratum_col="lang"
+        ).collect()
+    }
+    assert small <= {r.doc_id for r in rows}
+    # python replay of the exact hash order (reference XXH64, chained lanes)
+    M = (1 << 64) - 1
+    P1, P2, P3, P4, P5 = (
+        0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+        0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+    )
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def fmix(h):
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        return h ^ (h >> 32)
+
+    def hash_long(v, seed):
+        v &= M
+        h = (seed + P5 + 8) & M
+        h ^= (rotl((v * P2) & M, 31) * P1) & M
+        return fmix(((rotl(h, 27) * P1) + P4) & M)
+
+    def hash_int(v, seed):
+        h = (seed + P5 + 4) & M
+        h ^= ((v & 0xFFFFFFFF) * P1) & M
+        return fmix(((rotl(h, 23) * P2) + P3) & M)
+
+    def spark_hash(doc_id):
+        u = hash_int(42, hash_long(doc_id, 42))
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    exp = set()
+    for lang in budgets:
+        stream = sorted(
+            ((spark_hash(d), d, n) for d, lg, n in base if lg == lang),
+        )
+        cum = 0
+        for _, d, n in stream:
+            if cum < budgets[lang]:
+                exp.add(d)
+            cum += n
+    assert {r.doc_id for r in rows} == exp
+
+
+def test_pack_sequences_shuffle_seed(spark):
+    """shuffle_seed packs the stream in xxhash64(id, seed) order:
+    deterministic, different from id order, and still a valid packing."""
+    from amr_kg_spark.operators.textprep import pack_sequences
+
+    rows = [(i, (i * 13) % 50 + 1) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    a = pack_sequences(docs, budget=64, num_bins=4, shuffle_seed=7)
+    b = pack_sequences(docs, budget=64, num_bins=4, shuffle_seed=7)
+    ident = pack_sequences(docs, budget=64, num_bins=4)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    ri = sorted(tuple(r) for r in ident.collect())
+    assert ra == rb, "same seed -> same packing"
+    assert ra != ri, "shuffled order must differ from id order"
+    # same bins either way (binning is order-independent), offsets valid
+    assert {t[:3] for t in ra} == {t[:3] for t in ri}  # doc_id,n_tokens,bin
+    assert a.filter("seq_offset >= 64 or seq_offset < 0").count() == 0
