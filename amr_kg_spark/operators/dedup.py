@@ -550,3 +550,57 @@ def dedup_keep_representatives(
         .select(F.col("node").alias(id_col))
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-train-document count of distinct n-gram shingles shared with a
+    benchmark/eval corpus — the measurement behind train/test
+    DECONTAMINATION (the GPT-3-style 13-gram overlap rule; n is a knob
+    because sandbox fixtures are short).
+
+    Scale shape: the benchmark side of the join is an eval set — orders
+    of magnitude smaller than the training corpus — so its distinct
+    shingle hashes are BROADCAST and the train side never shuffles its
+    shingles: explode happens inside the scan stage, the semi-join is
+    map-side, and the only exchange is the tiny per-contaminated-doc
+    count. Shingles travel as xxhash64 longs, never strings."""
+    t = with_word_shingles(train, text_col, n, out="__sh", hashed=True)
+    b = with_word_shingles(benchmark, bench_text_col, n, out="__sh", hashed=True)
+    bench_sh = b.select(F.explode("__sh").alias("__bsh")).distinct()
+    t_ex = t.select(F.col(id_col), F.explode("__sh").alias("__bsh"))
+    return (
+        t_ex.join(F.broadcast(bench_sh), "__bsh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__bsh").alias("n_contaminated_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    mode: str = "drop",
+) -> DataFrame:
+    """Remove (``mode="drop"``) or annotate (``mode="flag"``) training
+    documents sharing at least one n-gram with the benchmark corpus.
+    ``flag`` adds ``n_contaminated_ngrams`` (0 = clean) so a pipeline can
+    audit before dropping; ``drop`` is a left_anti against the
+    contaminated-id set (small — joins AQE-broadcast at scale)."""
+    hits = cross_corpus_overlap(
+        train, benchmark, n, id_col, text_col, bench_text_col
+    )
+    if mode == "flag":
+        return train.join(hits, id_col, "left").na.fill(
+            {"n_contaminated_ngrams": 0}
+        )
+    return train.join(hits.select(id_col), id_col, "left_anti")

@@ -252,15 +252,21 @@ TP_PACK_BUDGET = 256
 TP_PACK_BINS = 8
 TP_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
 TP_MIX_BUDGETS = {"en": 2000, "de": 500}
+# every 7th doc plays the "benchmark/eval set" for the decontamination
+# variant; n=3 shingles because the sandbox fixtures are short (prod: 13)
+TP_DECONTAM_MOD = 7
+TP_DECONTAM_N = 3
 
 
 def q_textprep(spark, sf):
-    """All five corpus-preparation operators (normalize / PII scrub /
-    sequence packing / stratified sampling / token-budget curriculum mix)
-    under ONE driver row with a FULL value oracle — including the
-    hash-dependent pack_bin/seq_id, the sampling keep-predicate and the
-    mix's hash-order cumulative budget, via the bit-exact DuckDB replica
-    of Spark's xxhash64 in queries/xxh64_sql.py (round-4 verdict item #2)."""
+    """The corpus-preparation family (normalize / PII scrub / sequence
+    packing / stratified sampling / token-budget curriculum mix /
+    cross-corpus decontamination) under ONE driver row with a FULL value
+    oracle — including the hash-dependent pack_bin/seq_id, the sampling
+    keep-predicate and the mix's hash-order cumulative budget, via the
+    bit-exact DuckDB replica of Spark's xxhash64 in queries/xxh64_sql.py
+    (round-4 verdict item #2). TP_DECONTAM_N must equal JACCARD_N: the
+    decontam oracle reuses the shared _SHINGLES derivation."""
     docs = _docs(spark, sf)
     nulls = [F.lit(None).cast("long").alias(c) for c in ("v1", "v2", "v3")]
     norm = TP.normalize_text(docs).select(
@@ -303,11 +309,21 @@ def q_textprep(spark, sf):
         F.col("n_tokens").cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    bench = docs.filter(F.col("doc_id") % TP_DECONTAM_MOD == 0)
+    train = docs.filter(F.col("doc_id") % TP_DECONTAM_MOD != 0)
+    dec = D.cross_corpus_overlap(train, bench, n=TP_DECONTAM_N).select(
+        F.lit("decontam").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("s"),
+        F.col("n_contaminated_ngrams").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         norm.unionByName(scrub)
         .unionByName(pack)
         .unionByName(samp)
         .unionByName(mix)
+        .unionByName(dec)
     )
 
 
@@ -721,8 +737,29 @@ FROM (
 )
 WHERE cb < ({mix_budget})
 """
+
+    # decontam: distinct n-gram shingles each train doc shares with the
+    # benchmark slice (Spark joins on xxhash64(shingle), DuckDB on the
+    # shingle strings — the same hash-vs-string equivalence the
+    # dp_ngram_jaccard oracle rests on)
+    decontam = f"""
+SELECT 'decontam' AS variant, doc_id, CAST(NULL AS VARCHAR) AS s,
+       CAST(cnt AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT sh.doc_id, count(DISTINCT sh.s) AS cnt
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents) sh
+  WHERE sh.doc_id % {TP_DECONTAM_MOD} <> 0
+    AND sh.s IN (
+      SELECT DISTINCT s
+      FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)
+      WHERE doc_id % {TP_DECONTAM_MOD} = 0
+    )
+  GROUP BY sh.doc_id
+)
+"""
     return " UNION ALL ".join(
-        f"({q})" for q in (norm, scrub, pack, sample, mix)
+        f"({q})" for q in (norm, scrub, pack, sample, mix, decontam)
     )
 
 

@@ -316,3 +316,43 @@ def test_with_signals_idempotent_under_composition(spark):
     a = {tuple(r) for r in once.select("doc_id", *SIGNAL_COLS).collect()}
     b = {tuple(r) for r in twice.select("doc_id", *SIGNAL_COLS).collect()}
     assert a == b
+
+
+def test_decontaminate_drop_flag_and_plan(spark):
+    """Cross-corpus decontamination: planted 3-gram overlap is caught,
+    clean docs survive, flag/drop modes agree, and the benchmark side is
+    BROADCAST (train shingles never shuffle before the semi-join)."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence about spark plans"),
+            (3, "another clean document with fresh novel words"),
+            (4, "we measure the quick brown fox here too"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox behaviour")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in D.cross_corpus_overlap(train, bench, n=3).collect()
+    }
+    # docs 1 and 4 share "the quick brown"/"quick brown fox"; 2,3 are clean
+    assert set(hits) == {1, 4} and all(v >= 1 for v in hits.values())
+    dropped = D.decontaminate(train, bench, n=3, mode="drop")
+    assert {r.doc_id for r in dropped.collect()} == {2, 3}
+    flagged = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in D.decontaminate(train, bench, n=3, mode="flag").collect()
+    }
+    assert flagged[2] == 0 and flagged[3] == 0
+    assert flagged[1] == hits[1] and flagged[4] == hits[4]
+    # scale shape: benchmark shingles broadcast into the semi-join
+    plan = dropped._sc._jvm.PythonSQLUtils.explainString(
+        D.cross_corpus_overlap(train, bench, n=3)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
