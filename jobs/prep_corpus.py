@@ -1,0 +1,161 @@
+"""spark-submit entry point for the FULL pre-training corpus pipeline —
+raw documents in, packed training sequences out, audit trail on the side:
+
+    spark-submit --master <cluster> --py-files /tmp/amr_kg_spark.zip \
+        jobs/prep_corpus.py --input <documents parquet> \
+        --output <packed parquet> [--rejects <dir>] \
+        [--benchmark <eval parquet> [--decontam-n 13]] \
+        [--min-quality 0.2] [--lang en] [--dedup-threshold 0.8] \
+        [--sample lang=en:0.5,lang=de:0.25 | --mix lang=en:2e9,...] \
+        [--budget 2048] [--shuffle-seed 42]
+
+Stage order (each a library operator, composed, nothing bespoke):
+
+  1. normalize_text         — one projection (control chars, whitespace)
+  2. scrub_pii              — one projection (+audit counts)
+  3. corpus_filter          — single-pass quality/lang/repetition gates
+  4. dedup_keep_representatives — near-dup clusters -> keep min id
+  5. decontaminate          — drop docs sharing n-grams with --benchmark
+  6. stratified_sample / mix_to_token_budget — deterministic mix
+  7. pack_sequences         — budget-token streams (optionally shuffled)
+
+Scale notes: stages 1-3 fuse into ONE scan-side projection (no exchange
+until dedup); dedup/decontam shuffle only hashes; sampling is a
+scan-side predicate; packing is one exchange + one window. Every
+decision (mix, order, bins) is a pure function of ids + seeds, so a
+re-run resumes to bit-identical sequences.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_kv(spec: str, cast) -> dict[str, float]:
+    out = {}
+    for item in spec.split(","):
+        if not item.strip():
+            continue
+        k, v = item.split(":")
+        k = k.split("=")[-1].strip()  # accept lang=en:0.5 or en:0.5
+        out[k] = cast(float(v))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--rejects", default=None)
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--decontam-n", type=int, default=13)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-dup-ngram", type=float, default=0.6)
+    ap.add_argument("--max-top-token", type=float, default=0.5)
+    ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--lang", default=None, help="comma list; default: any")
+    ap.add_argument("--dedup-threshold", type=float, default=0.8)
+    ap.add_argument("--sample", default=None, help="stratum:fraction list")
+    ap.add_argument("--mix", default=None, help="stratum:token-budget list")
+    ap.add_argument("--stratum-col", default="lang")
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--num-bins", type=int, default=1024)
+    ap.add_argument("--shuffle-seed", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("prep-corpus").getOrCreate()
+
+    from amr_kg_spark.operators.dedup import (
+        decontaminate,
+        dedup_keep_representatives,
+        tokens_col,
+    )
+    from amr_kg_spark.operators.text import corpus_filter
+    from amr_kg_spark.operators.textprep import (
+        mix_to_token_budget,
+        normalize_text,
+        pack_sequences,
+        scrub_pii,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(args.input)
+    counts = {"rows_in": docs.count()}
+
+    # 1+2: normalize + scrub compose into the same projection
+    cleaned = scrub_pii(
+        normalize_text(docs), text_col="text_norm", out_col="text_clean"
+    )
+    # downstream operators read the cleaned text
+    cleaned = cleaned.drop("text").withColumnRenamed("text_clean", "text")
+
+    # 3: single-pass quality gate (+ audit side-channel)
+    langs = (
+        [x.strip() for x in args.lang.split(",") if x.strip()]
+        if args.lang
+        else None
+    )
+    sig = corpus_filter(
+        cleaned,
+        min_tokens=args.min_tokens,
+        max_dup_ngram=args.max_dup_ngram,
+        max_top_token=args.max_top_token,
+        min_quality=args.min_quality,
+        langs=langs,
+    )
+    if args.rejects:
+        sig.filter(F.col("reject_reason").isNotNull()).write.mode(
+            "overwrite"
+        ).parquet(args.rejects + "/quality")
+    kept = sig.filter(F.col("reject_reason").isNull()).select(cleaned.columns)
+    counts["after_filter"] = kept.count()
+
+    # 4: near-dup removal (clusters -> min-id representative)
+    kept = dedup_keep_representatives(
+        kept, n=3, threshold=args.dedup_threshold, method="exact"
+    )
+    counts["after_dedup"] = kept.count()
+
+    # 5: benchmark decontamination (optional)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        kept = decontaminate(kept, bench, n=args.decontam_n)
+        counts["after_decontam"] = kept.count()
+
+    # 6: deterministic mix (rate-based or token-budget-based)
+    if args.sample:
+        kept = stratified_sample(
+            kept, _parse_kv(args.sample, float), stratum_col=args.stratum_col
+        )
+        counts["after_sample"] = kept.count()
+    toks = kept.withColumn("n_tokens", F.size(tokens_col("text")))
+    if args.mix:
+        toks = mix_to_token_budget(
+            toks, _parse_kv(args.mix, int), stratum_col=args.stratum_col
+        )
+        counts["after_mix"] = toks.count()
+
+    # 7: pack into training sequences
+    packed = pack_sequences(
+        toks,
+        budget=args.budget,
+        num_bins=args.num_bins,
+        shuffle_seed=args.shuffle_seed,
+    )
+    packed.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    counts["rows_out"] = out.count()
+    counts["n_sequences"] = out.select("seq_id").distinct().count()
+    counts["total_tokens"] = out.agg(F.sum("n_tokens")).collect()[0][0]
+    print(json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -398,3 +398,55 @@ def test_pack_sequences_shuffle_seed(spark):
     # same bins either way (binning is order-independent), offsets valid
     assert {t[:3] for t in ra} == {t[:3] for t in ri}  # doc_id,n_tokens,bin
     assert a.filter("seq_offset >= 64 or seq_offset < 0").count() == 0
+
+
+def test_prep_corpus_job_end_to_end(tmp_path):
+    """jobs/prep_corpus.py: the full raw-docs -> packed-sequences pipeline
+    in a fresh JVM — stage counts monotone, side-channel written, output
+    packed within budget."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    out = str(tmp_path / "packed")
+    rej = str(tmp_path / "rej")
+    bench = str(tmp_path / "bench")
+    # benchmark slice = every 31st doc
+    pre = subprocess.run(
+        [sys.executable, "-c", (
+            "from amr_kg_spark.session import get_spark;"
+            "s = get_spark(cores='4');"
+            f"s.read.parquet('{SF_SMALL}/documents.parquet')"
+            f".filter('doc_id % 31 = 0').write.parquet('{bench}');"
+            "s.stop()"
+        )],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert pre.returncode == 0, pre.stderr[-2000:]
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", f"{SF_SMALL}/documents.parquet",
+            "--output", out, "--rejects", rej,
+            "--benchmark", bench, "--decontam-n", "8",
+            "--min-quality", "0.4", "--lang", "en",
+            "--sample", "en:0.9", "--budget", "512", "--shuffle-seed", "13",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    chain = ["rows_in", "after_filter", "after_dedup", "after_decontam",
+             "after_sample", "rows_out"]
+    vals = [stats[k] for k in chain]
+    assert vals == sorted(vals, reverse=True), stats
+    assert stats["rows_out"] > 0 and stats["total_tokens"] > 0
+    assert os.path.isdir(rej + "/quality")
