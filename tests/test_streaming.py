@@ -171,3 +171,40 @@ def test_stream_corpus_filter_matches_batch(spark):
             .collect()
         }
         assert got == expected and len(got) == docs.count()
+
+
+def test_stream_textprep_projections_match_batch(spark):
+    """normalize_text + scrub_pii + stratified_sample are stateless
+    scan-side expressions, so the crawl-side corpus prep runs under
+    Structured Streaming unchanged — micro-batched file stream yields
+    byte-identical normalize/scrub outputs and the identical deterministic
+    sample set as the batch run (the hash predicate is a pure function of
+    ids, so stream vs batch cannot diverge)."""
+    from amr_kg_spark.operators.textprep import (
+        normalize_text,
+        scrub_pii,
+        stratified_sample,
+    )
+
+    def prep(df):
+        cleaned = scrub_pii(normalize_text(df))
+        return stratified_sample(
+            cleaned, {"en": 0.6, "de": 0.3}, stratum_col="lang"
+        ).select("doc_id", "text_norm", "text_scrubbed", "n_email", "n_phone")
+
+    with tempfile.TemporaryDirectory() as root:
+        ind, outd, ckpt = (os.path.join(root, x) for x in ("in", "out", "ckpt"))
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(ind)
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(ind)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ind)
+        )
+        run_available_now(prep(stream), outd, ckpt)
+
+        got = {tuple(r) for r in spark.read.parquet(outd).collect()}
+        expected = {tuple(r) for r in prep(docs).collect()}
+        assert got == expected and len(got) > 0
