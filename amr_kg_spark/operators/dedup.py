@@ -604,3 +604,62 @@ def decontaminate(
             {"n_contaminated_ngrams": 0}
         )
     return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 0,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Sub-document (line/paragraph) deduplication across the CORPUS —
+    the boilerplate-removal stage of crawl pipelines (headers, cookie
+    banners, nav text repeat across millions of pages while the documents
+    containing them are unique, so document-level dedup never sees them).
+
+    Every ``sep``-delimited segment keeps only its FIRST occurrence
+    corpus-wide (ordered by (id, position) — deterministic); later
+    occurrences are dropped and the document is reassembled from its
+    surviving segments in original order. Segments shorter than
+    ``min_chars`` are exempt (never dropped): ultra-short lines ("",
+    "-", list bullets) repeat legitimately.
+
+    Adds ``out_col`` and ``n_lines_dropped``.
+
+    Scale shape: two exchanges, both necessary for a global claim —
+    (1) window on xxhash64(segment) to pick first occurrences (shuffle
+    key is a long; the segment string rides once), (2) groupBy id to
+    reassemble. No driver-side state; ties broken deterministically so
+    retries/resumes reproduce the same corpus."""
+    pos = F.posexplode(F.split(F.col(text_col), sep))
+    lines = docs.select(F.col(id_col), pos.alias("__pos", "__line"))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
+    kept = (
+        lines.withColumn("__h", F.xxhash64("__line"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1) | (F.length("__line") < F.lit(min_chars))
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            sep,
+        ).alias(out_col),
+        F.count("*").alias("__kept"),
+    )
+    n_orig = F.size(F.split(F.col(text_col), sep))
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn(
+            "n_lines_dropped",
+            (n_orig - F.coalesce(F.col("__kept"), F.lit(0))).cast("int"),
+        )
+        .drop("__kept")
+    )

@@ -14,6 +14,7 @@ Stage order (each a library operator, composed, nothing bespoke):
   1. normalize_text         — one projection (control chars, whitespace)
   2. scrub_pii              — one projection (+audit counts)
   3. corpus_filter          — single-pass quality/lang/repetition gates
+  3.5 dedup_lines           — optional corpus-wide boilerplate-line dedup
   4. dedup_keep_representatives — near-dup clusters -> keep min id
   5. decontaminate          — drop docs sharing n-grams with --benchmark
   6. stratified_sample / mix_to_token_budget — deterministic mix
@@ -57,6 +58,11 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--lang", default=None, help="comma list; default: any")
     ap.add_argument("--dedup-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--dedup-lines", type=int, default=None, metavar="MIN_CHARS",
+        help="corpus-wide line dedup before doc dedup; lines shorter than "
+        "MIN_CHARS are exempt",
+    )
     ap.add_argument("--sample", default=None, help="stratum:fraction list")
     ap.add_argument("--mix", default=None, help="stratum:token-budget list")
     ap.add_argument("--stratum-col", default="lang")
@@ -73,6 +79,7 @@ def main() -> None:
     from amr_kg_spark.operators.dedup import (
         decontaminate,
         dedup_keep_representatives,
+        dedup_lines,
         tokens_col,
     )
     from amr_kg_spark.operators.text import corpus_filter
@@ -114,6 +121,18 @@ def main() -> None:
         ).parquet(args.rejects + "/quality")
     kept = sig.filter(F.col("reject_reason").isNull()).select(cleaned.columns)
     counts["after_filter"] = kept.count()
+
+    # 3.5: boilerplate line dedup (optional) — repeated banners/nav lines
+    # removed corpus-wide before document-level dedup sees the texts
+    if args.dedup_lines is not None:
+        kept = (
+            dedup_lines(kept, min_chars=args.dedup_lines)
+            .drop("text")
+            .withColumnRenamed("text_deduped", "text")
+        )
+        counts["lines_dropped"] = int(
+            kept.agg(F.sum("n_lines_dropped")).collect()[0][0] or 0
+        )
 
     # 4: near-dup removal (clusters -> min-id representative)
     kept = dedup_keep_representatives(

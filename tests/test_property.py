@@ -69,3 +69,79 @@ def test_reconstruction_invariant_under_random_order(spark):
         shuffled = t.repartition(13, seed_col)
         got = {r.conv_id: r.conv_text for r in conversation_text(shuffled).collect()}
         assert got == baseline
+
+
+# reference XXH64 (one 8-byte lane / one 4-byte lane + avalanche) — the
+# same arithmetic Spark's F.xxhash64 implements; used to property-check
+# the staged DuckDB SQL replica over the full signed-long domain
+_M = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(h):
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    return h ^ (h >> 32)
+
+
+def _xxh64_long(v, seed):
+    v &= _M
+    h = (seed + _P5 + 8) & _M
+    h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+    return _fmix(((_rotl(h, 27) * _P1) + _P4) & _M)
+
+
+def _xxh64_int(v, seed):
+    h = (seed + _P5 + 4) & _M
+    h ^= ((v & 0xFFFFFFFF) * _P1) & _M
+    return _fmix(((_rotl(h, 23) * _P2) + _P3) & _M)
+
+
+def _signed(u):
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        min_size=1, max_size=50, unique=True,
+    )
+)
+def test_xxh64_duckdb_replica_matches_reference(vals):
+    """The staged DuckDB SQL computes Spark's xxhash64 bit-exactly across
+    the FULL signed-long domain (negative ids, extremes) for both the
+    long lane and the chained long+int-literal shape — the foundation the
+    dp_textprep pack/sample/mix oracles stand on."""
+    import duckdb
+
+    from amr_kg_spark.queries.xxh64_sql import (
+        spark_xxhash64_long_int_sql,
+        spark_xxhash64_long_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got1 = dict(
+        con.execute(
+            f"SELECT v, h FROM ({spark_xxhash64_long_sql('SELECT * FROM t', 'v', 'h')})"
+        ).fetchall()
+    )
+    got2 = dict(
+        con.execute(
+            f"SELECT v, h FROM ({spark_xxhash64_long_int_sql('SELECT * FROM t', 'v', 42, 'h')})"
+        ).fetchall()
+    )
+    for v in vals:
+        assert got1[v] == _signed(_xxh64_long(v, 42))
+        assert got2[v] == _signed(_xxh64_int(42, _xxh64_long(v, 42)))
