@@ -93,6 +93,19 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     counts = {"rows_in": docs.count()}
+    cached = []
+
+    def checkpointed(df, key):
+        """Per-stage audit count WITHOUT recomputing the upstream chain:
+        the counted frame is persisted, so the count materializes the
+        stage once and every downstream consumer reuses it (the 100 TB
+        alternative to counting is df.observe metrics riding the final
+        write; persist keeps the counts exact under the multi-branch
+        stages here). Unpersisted before exit."""
+        df = df.persist()
+        counts[key] = df.count()
+        cached.append(df)
+        return df
 
     # 1+2: normalize + scrub compose into the same projection
     cleaned = scrub_pii(
@@ -119,8 +132,10 @@ def main() -> None:
         sig.filter(F.col("reject_reason").isNotNull()).write.mode(
             "overwrite"
         ).parquet(args.rejects + "/quality")
-    kept = sig.filter(F.col("reject_reason").isNull()).select(cleaned.columns)
-    counts["after_filter"] = kept.count()
+    kept = checkpointed(
+        sig.filter(F.col("reject_reason").isNull()).select(cleaned.columns),
+        "after_filter",
+    )
 
     # 3.5: boilerplate line dedup (optional) — repeated banners/nav lines
     # removed corpus-wide before document-level dedup sees the texts
@@ -135,29 +150,37 @@ def main() -> None:
         )
 
     # 4: near-dup removal (clusters -> min-id representative)
-    kept = dedup_keep_representatives(
-        kept, n=3, threshold=args.dedup_threshold, method="exact"
+    kept = checkpointed(
+        dedup_keep_representatives(
+            kept, n=3, threshold=args.dedup_threshold, method="exact"
+        ),
+        "after_dedup",
     )
-    counts["after_dedup"] = kept.count()
 
     # 5: benchmark decontamination (optional)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
-        kept = decontaminate(kept, bench, n=args.decontam_n)
-        counts["after_decontam"] = kept.count()
+        kept = checkpointed(
+            decontaminate(kept, bench, n=args.decontam_n), "after_decontam"
+        )
 
     # 6: deterministic mix (rate-based or token-budget-based)
     if args.sample:
-        kept = stratified_sample(
-            kept, _parse_kv(args.sample, float), stratum_col=args.stratum_col
+        kept = checkpointed(
+            stratified_sample(
+                kept, _parse_kv(args.sample, float),
+                stratum_col=args.stratum_col,
+            ),
+            "after_sample",
         )
-        counts["after_sample"] = kept.count()
     toks = kept.withColumn("n_tokens", F.size(tokens_col("text")))
     if args.mix:
-        toks = mix_to_token_budget(
-            toks, _parse_kv(args.mix, int), stratum_col=args.stratum_col
+        toks = checkpointed(
+            mix_to_token_budget(
+                toks, _parse_kv(args.mix, int), stratum_col=args.stratum_col
+            ),
+            "after_mix",
         )
-        counts["after_mix"] = toks.count()
 
     # 7: pack into training sequences
     packed = pack_sequences(
@@ -173,6 +196,8 @@ def main() -> None:
     counts["n_sequences"] = out.select("seq_id").distinct().count()
     counts["total_tokens"] = out.agg(F.sum("n_tokens")).collect()[0][0]
     print(json.dumps(counts))
+    for df in cached:
+        df.unpersist()
     spark.stop()
 
 
