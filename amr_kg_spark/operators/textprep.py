@@ -235,3 +235,74 @@ def mix_to_token_budget(
         .withColumn("mix_tokens_before", F.col("__cb"))
         .drop("__cb")
     )
+
+
+URL_PATTERN = r"""https?://[^\s<>"']+|\bwww\.[^\s<>"']+"""
+
+
+def strip_urls(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_nourl",
+    token: str = "<URL>",
+) -> DataFrame:
+    """Replace URLs with a placeholder (or strip them with ``token=""``)
+    and count them per document — crawl text is full of bare links that
+    are tokenizer poison and dedup noise. One projection, RE2-safe
+    pattern (DuckDB-replayable like the PII patterns), zero shuffles."""
+    col = F.col(text_col)
+    return docs.withColumn(
+        "n_urls", F.size(F.regexp_extract_all(col, F.lit(URL_PATTERN), F.lit(0)))
+    ).withColumn(out_col, F.regexp_replace(col, URL_PATTERN, token))
+
+
+def corpus_stats(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus report: document count, token totals, exact
+    token-count quantiles (p50/p90/p99) and mean characters — the
+    numbers a mix designer reads before setting sampling fractions or
+    token budgets. One aggregation over one scan (token counts are a
+    projection; EXACT percentiles so the DuckDB cross-check is
+    value-equal, swap to approx_percentile at extreme cardinality)."""
+    from .dedup import tokens_col
+
+    base = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.size(tokens_col(text_col)).alias("__nt"),
+        F.length(text_col).alias("__nc"),
+    )
+    return base.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.percentile("__nt", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("__nt", F.lit(0.9)).alias("p90_tokens"),
+        F.percentile("__nt", F.lit(0.99)).alias("p99_tokens"),
+        F.round(F.avg("__nc"), 6).alias("mean_chars"),
+    )
+
+
+def top_tokens(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    by: str = "df",
+) -> DataFrame:
+    """Corpus-wide top-k tokens by document frequency (``by="df"``,
+    distinct docs containing the token) or raw term frequency
+    (``by="tf"``). The Zipf head a pipeline inspects for boilerplate /
+    stopword drift. Map-side partial aggregation then a k-row result —
+    the shuffle carries (token, partial count) pairs only."""
+    from .dedup import tokens_col
+
+    toks = tokens_col(text_col)
+    arr = F.array_distinct(toks) if by == "df" else toks
+    return (
+        docs.select(F.explode(arr).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )

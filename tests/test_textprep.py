@@ -450,3 +450,76 @@ def test_prep_corpus_job_end_to_end(tmp_path):
     assert vals == sorted(vals, reverse=True), stats
     assert stats["rows_out"] > 0 and stats["total_tokens"] > 0
     assert os.path.isdir(rej + "/quality")
+
+
+def test_strip_urls(spark):
+    from amr_kg_spark.operators.textprep import URL_PATTERN, strip_urls
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://example.org/a?b=1 and www.test.de/x for docs"),
+            (2, "no links here, just text about http protocols in general"),
+            (3, "trailing http://a.io"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in strip_urls(docs).collect()}
+    assert got[1].n_urls == 2
+    assert got[1].text_nourl == "see <URL> and <URL> for docs"
+    assert got[2].n_urls == 0 and got[2].text_nourl == got[2].text
+    assert got[3].text_nourl == "trailing <URL>"
+    # RE2-replayable like the PII patterns
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    exp = dict(
+        con.execute(
+            "SELECT doc_id, len(regexp_extract_all(text, ?)) FROM t",
+            [URL_PATTERN],
+        ).fetchall()
+    )
+    assert exp == {i: r.n_urls for i, r in got.items()}
+
+
+def test_corpus_stats_and_top_tokens_match_duckdb(spark):
+    from amr_kg_spark.operators.textprep import corpus_stats, top_tokens
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {
+        r.stratum: (
+            r.n_docs, r.total_tokens,
+            round(r.p50_tokens, 6), round(r.p90_tokens, 6),
+            round(r.p99_tokens, 6), r.mean_chars,
+        )
+        for r in corpus_stats(docs).collect()
+    }
+    toks = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+    exp = {
+        s: (n, tt, round(p50, 6), round(p90, 6), round(p99, 6), mc)
+        for s, n, tt, p50, p90, p99, mc in _duck().execute(
+            f"""
+            SELECT lang, count(*), sum(len({toks})),
+                   quantile_cont(len({toks}), 0.5),
+                   quantile_cont(len({toks}), 0.9),
+                   quantile_cont(len({toks}), 0.99),
+                   round(avg(length(text)), 6)
+            FROM documents GROUP BY lang
+            """
+        ).fetchall()
+    }
+    assert got == exp and len(got) > 0
+
+    got_top = [(r.token, r.n) for r in top_tokens(docs, k=15, by="df").collect()]
+    exp_top = _duck().execute(
+        f"""
+        SELECT tok, count(*) AS n FROM (
+          SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
+        ) GROUP BY tok ORDER BY n DESC, tok LIMIT 15
+        """
+    ).fetchall()
+    assert got_top == [(t, n) for t, n in exp_top]
