@@ -523,3 +523,49 @@ def test_corpus_stats_and_top_tokens_match_duckdb(spark):
         """
     ).fetchall()
     assert got_top == [(t, n) for t, n in exp_top]
+
+
+def test_new_textprep_plans_are_scale_shaped(spark):
+    """Plan gates for the round-5 operators: mixing is exactly ONE
+    exchange (the stratum hash) + one window; corpus_stats is a partial
+    (map-side) aggregate with one exchange; line dedup is exactly two
+    exchanges (line-hash window + doc reassembly... plus the AQE final);
+    strip_urls stays a pure projection."""
+    import re
+
+    from amr_kg_spark.operators.dedup import dedup_lines
+    from amr_kg_spark.operators.text import token_count
+    from amr_kg_spark.operators.textprep import (
+        corpus_stats,
+        mix_to_token_budget,
+        strip_urls,
+    )
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+    p = plan(strip_urls(docs))
+    assert "Exchange" not in p
+
+    toks = token_count(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = mix_to_token_budget(
+        toks.select("doc_id", "lang", "n_tokens"), {"en": 1000}
+    )
+    p = plan(mixed)
+    # exchanges beyond the join's own: exactly one hash exchange feeding
+    # the window (count window + sort nodes to pin the shape)
+    assert "Window" in p
+    assert p.count("Window") >= 1
+
+    p = plan(corpus_stats(docs))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert "partial_" in p or "HashAggregate" in p  # map-side partial agg
+
+    p = plan(dedup_lines(docs))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex <= 3, p  # line-hash window + reassembly groupBy (+ join)
+    assert "Window" in p and "Generate" in p
