@@ -288,3 +288,52 @@ def ivf_table_topk(
     return _topk_by_cosine(
         cands.select(F.col(id_col).alias("vec_id"), cos.alias("_cos")), k
     )
+
+
+def cosine_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN JOIN: exact top-k corpus neighbors by cosine for EVERY
+    query row — the set-valued sibling of ``cosine_topk`` (embedding-dedup
+    audits, cluster assignment, retrieval-eval harnesses all want the
+    whole query set at once, not a driver loop over single queries).
+
+    Scale shape: the query side of a k-NN join is orders of magnitude
+    smaller than the corpus, so it is BROADCAST and the corpus scans
+    exactly once, computing all query dots per corpus row inside the scan
+    stage (a broadcast nested-loop join — the |Q| x |C| product is the
+    definition of exact k-NN, not an accident; cap |Q| per run and batch,
+    or switch to the LSH/IVF operators when approximation is acceptable).
+    The only exchange is the per-query top-k window over k x |Q| rows.
+    Deterministic tie-break on corpus id."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+    )
+    cos = _dot(F.col("__cv"), F.col("__qv")) / (
+        _norm(F.col("__cv")) * _norm(F.col("__qv"))
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cos.alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "vec_id", F.round("_cos", 6).alias("cosine"), 
+            F.col("__rn").alias("rank"),
+        )
+    )

@@ -423,3 +423,70 @@ FROM t LEFT JOIN re USING (doc_id)
     assert got == exp and len(got) > 0
     # sf0.001's texts are unique single lines, so this corpus checks the
     # no-false-positive side; positive support lives in the planted test
+
+
+def test_cosine_topk_join_matches_duckdb_and_single_query(spark):
+    """Batch k-NN join: per-query results equal the single-query operator
+    AND an independent DuckDB window formulation; query side broadcast."""
+    import duckdb
+
+    from amr_kg_spark.operators.similarity import cosine_topk, cosine_topk_join
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_join(queries, emb, k=5)
+    rows = got.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    # consistency with the single-query operator for each query
+    for qid in by_q:
+        qv = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single = [
+            (i + 1, r.vec_id, r.cosine)
+            for i, r in enumerate(cosine_topk(emb, qv, k=5).collect())
+        ]
+        assert sorted(by_q[qid]) == single, qid
+    # independent DuckDB oracle over the same parquet
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW e AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(c.embedding)), "
+        "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+    )
+    nc = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)), "
+        "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+    )
+    nq = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+    )
+    exp_rows = con.execute(
+        f"""
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 {dot} / ({nc} * {nq}) AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {dot} / ({nc} * {nq}) DESC, c.vec_id
+                 ) AS rn
+          FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id % 97 = 0) q
+        ) WHERE rn <= 5
+        """
+    ).fetchall()
+    exp = {(a, b, c, d) for a, b, c, d in exp_rows}
+    assert {(r.query_id, r.vec_id, r.cosine, r.rank) for r in rows} == exp
+    # the query side must be broadcast
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan
