@@ -490,3 +490,76 @@ def test_cosine_topk_join_matches_duckdb_and_single_query(spark):
         got._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quantize_embeddings_roundtrip_and_cosine_error(spark):
+    """int8 quantization: codes in range, DuckDB value parity on the
+    quantization arithmetic, reconstruction error bounded elementwise by
+    scale/2, and cosine distortion vs fp under 1e-2 on the real corpus."""
+    import duckdb
+
+    from amr_kg_spark.operators.similarity import (
+        _dot,
+        _norm,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    rows = q.select("vec_id", "q8_scale", "embedding_q8").collect()
+    assert all(
+        all(-127 <= int(v) <= 127 for v in r.embedding_q8) for r in rows
+    )
+    # DuckDB replays the arithmetic exactly (round-half-up matches Spark
+    # F.round HALF_UP on positive halves; scale>0 on this corpus)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW e AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    exp = {
+        vid: (s, tuple(code))
+        for vid, s, code in con.execute(
+            """
+            SELECT vec_id, amax / 127.0 AS scale,
+                   list_transform(x, v -> CAST(round(v / (amax / 127.0), 0) AS TINYINT))
+            FROM (
+              SELECT vec_id,
+                     list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+                     list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax
+              FROM e
+            )
+            """
+        ).fetchall()
+    }
+    got = {
+        r.vec_id: (r.q8_scale, tuple(int(v) for v in r.embedding_q8))
+        for r in rows
+    }
+    for vid in got:
+        gs, gc = got[vid]
+        es, ec = exp[vid]
+        assert abs(gs - es) < 1e-12 and gc == tuple(int(v) for v in ec), vid
+    # reconstruction + cosine distortion
+    dq = dequantize_embeddings(q)
+    err = dq.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding_dq"),
+                F.transform("embedding", lambda v: v.cast("double")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("e"),
+        (F.col("q8_scale") / 2 + F.lit(1e-9)).alias("bound"),
+    )
+    assert err.filter(F.col("e") > F.col("bound")).count() == 0
+    orig = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    cosd = dq.select(
+        (
+            F.lit(1.0)
+            - _dot(F.col("embedding_dq"), orig)
+            / (_norm(F.col("embedding_dq")) * _norm(orig))
+        ).alias("d")
+    )
+    assert cosd.agg(F.max("d")).collect()[0][0] < 1e-2
