@@ -570,7 +570,13 @@ def cross_corpus_overlap(
     shingle hashes are BROADCAST and the train side never shuffles its
     shingles: explode happens inside the scan stage, the semi-join is
     map-side, and the only exchange is the tiny per-contaminated-doc
-    count. Shingles travel as xxhash64 longs, never strings."""
+    count. Shingles travel as xxhash64 longs, never strings.
+
+    Equivalence assumption (same as the jaccard/minhash operators state):
+    two shingles are "the same" iff their xxhash64 values collide — a
+    64-bit collision between distinct shingles would miscount overlap
+    (or flag a clean doc), probability ~n^2/2^65 for n distinct
+    shingles; accepted by design at training-corpus scale."""
     t = with_word_shingles(train, text_col, n, out="__sh", hashed=True)
     b = with_word_shingles(benchmark, bench_text_col, n, out="__sh", hashed=True)
     bench_sh = b.select(F.explode("__sh").alias("__bsh")).distinct()
@@ -626,6 +632,13 @@ def dedup_lines(
     ``min_chars`` are exempt (never dropped): ultra-short lines ("",
     "-", list bullets) repeat legitimately.
 
+    ``sep`` is a LITERAL separator string (escaped before feeding
+    Spark's regex-based ``F.split``, so ``"."``/``"|"``/``"\\n\\n"``
+    split on those exact characters — the same string ``array_join``
+    reassembles with). Regex-pattern splitting is deliberately not
+    offered: split-by-pattern is not invertible, so the rebuilt text
+    could not round-trip.
+
     Adds ``out_col`` and ``n_lines_dropped``.
 
     Scale shape: two exchanges, both necessary for a global claim —
@@ -633,7 +646,13 @@ def dedup_lines(
     key is a long; the segment string rides once), (2) groupBy id to
     reassemble. No driver-side state; ties broken deterministically so
     retries/resumes reproduce the same corpus."""
-    pos = F.posexplode(F.split(F.col(text_col), sep))
+    import re
+
+    # F.split takes a Java regex; sep is a literal (see docstring), so
+    # escape metacharacters ('.', '|', ...) — Python's re.escape output
+    # is Java-regex-compatible (backslash-escapes every non-alphanumeric)
+    sep_pat = re.escape(sep)
+    pos = F.posexplode(F.split(F.col(text_col), sep_pat))
     lines = docs.select(F.col(id_col), pos.alias("__pos", "__line"))
     w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
     kept = (
@@ -653,7 +672,7 @@ def dedup_lines(
         ).alias(out_col),
         F.count("*").alias("__kept"),
     )
-    n_orig = F.size(F.split(F.col(text_col), sep))
+    n_orig = F.size(F.split(F.col(text_col), sep_pat))
     return (
         docs.join(rebuilt, id_col, "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))

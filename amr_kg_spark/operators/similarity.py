@@ -310,16 +310,22 @@ def cosine_topk_join(
     definition of exact k-NN, not an accident; cap |Q| per run and batch,
     or switch to the LSH/IVF operators when approximation is acceptable).
     The only exchange is the per-query top-k window over k x |Q| rows.
-    Deterministic tie-break on corpus id."""
+    Deterministic tie-break on corpus id.
+
+    Zero-norm vectors (cosine undefined, 0/0 -> NULL) are filtered from
+    BOTH sides before scoring: a NULL cosine sorts last under desc but
+    would still occupy top-k rank slots on a small corpus, and oracle
+    engines disagree on NULL placement — so degenerate vectors simply
+    never rank, matching the exact-kNN contract."""
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-    )
+    ).filter(_norm(F.col("__qv")) > 0)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
-    )
+    ).filter(_norm(F.col("__cv")) > 0)
     cos = _dot(F.col("__cv"), F.col("__qv")) / (
         _norm(F.col("__cv")) * _norm(F.col("__qv"))
     )

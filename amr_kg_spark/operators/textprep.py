@@ -23,6 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Whitespace collapse class for normalize_text: \s in both Java regex and
+# DuckDB's RE2 is ASCII-only, so the unicode spaces common in crawl HTML
+# (NBSP, ogham mark, en/em/thin spaces, line/para separators, narrow
+# NBSP, math space, ideographic space) are listed as LITERAL characters —
+# literal chars inside a class mean the same thing in both dialects, so
+# the oracle replays the identical pattern (round-5 ADVICE #4).
+WHITESPACE_CLASS = (
+    "[\\s\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]+"
+)
+
 
 def normalize_text(
     docs: DataFrame,
@@ -33,7 +43,9 @@ def normalize_text(
     """Standard pre-tokenization cleanup, one projection:
 
     - control characters (C0 except \\t \\n, DEL) stripped;
-    - all unicode whitespace runs collapsed to one ASCII space;
+    - whitespace runs — ASCII ``\\s`` plus the unicode space set in
+      :data:`WHITESPACE_CLASS` (NBSP, en/em/thin spaces, line/paragraph
+      separators, ideographic space) — collapsed to one ASCII space;
     - leading/trailing whitespace trimmed.
 
     With ``nfc=True`` the text is first NFC-composed via a batched Arrow
@@ -57,7 +69,7 @@ def normalize_text(
 
         src = _nfc(src)
     cleaned = F.regexp_replace(src, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
-    collapsed = F.regexp_replace(cleaned, r"\s+", " ")
+    collapsed = F.regexp_replace(cleaned, WHITESPACE_CLASS, " ")
     return docs.withColumn(out_col, F.trim(collapsed))
 
 
@@ -260,13 +272,24 @@ def corpus_stats(
     docs: DataFrame,
     stratum_col: str = "lang",
     text_col: str = "text",
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
-    """Per-stratum corpus report: document count, token totals, exact
-    token-count quantiles (p50/p90/p99) and mean characters — the
-    numbers a mix designer reads before setting sampling fractions or
-    token budgets. One aggregation over one scan (token counts are a
-    projection; EXACT percentiles so the DuckDB cross-check is
-    value-equal, swap to approx_percentile at extreme cardinality)."""
+    """Per-stratum corpus report: document count, token totals, token-count
+    quantiles (p50/p90/p99) and mean characters — the numbers a mix
+    designer reads before setting sampling fractions or token budgets.
+    One aggregation over one scan (token counts are a projection).
+
+    ``exact=True`` (default) uses ``F.percentile`` so the DuckDB
+    cross-check is value-equal; at extreme per-stratum cardinality the
+    exact aggregate's per-group value buffer is the bottleneck, so
+    ``exact=False`` switches to ``approx_percentile`` (Greenwald-Khanna
+    sketch, bounded memory, rank error <= 1/approx_accuracy) — tested to
+    stay within tolerance of the exact quantiles.
+
+    ``token_counter`` note: pass a pre-tokenized frame by aliasing your
+    own count into ``text_col``'s token expression upstream if you need
+    BPE-accurate stats; see :func:`amr_kg_spark.operators.tokenize`."""
     from .dedup import tokens_col
 
     base = docs.select(
@@ -274,12 +297,22 @@ def corpus_stats(
         F.size(tokens_col(text_col)).alias("__nt"),
         F.length(text_col).alias("__nc"),
     )
+    if exact:
+        pct = [
+            F.percentile("__nt", F.lit(p)).alias(f"p{n}_tokens")
+            for p, n in ((0.5, 50), (0.9, 90), (0.99, 99))
+        ]
+    else:
+        pct = [
+            F.percentile_approx(
+                "__nt", F.lit(p), F.lit(approx_accuracy)
+            ).cast("double").alias(f"p{n}_tokens")
+            for p, n in ((0.5, 50), (0.9, 90), (0.99, 99))
+        ]
     return base.groupBy("stratum").agg(
         F.count("*").alias("n_docs"),
         F.sum("__nt").alias("total_tokens"),
-        F.percentile("__nt", F.lit(0.5)).alias("p50_tokens"),
-        F.percentile("__nt", F.lit(0.9)).alias("p90_tokens"),
-        F.percentile("__nt", F.lit(0.99)).alias("p99_tokens"),
+        *pct,
         F.round(F.avg("__nc"), 6).alias("mean_chars"),
     )
 

@@ -643,11 +643,14 @@ def _textprep_sql() -> str:
     staged DuckDB SQL (queries/xxh64_sql.py), so bin assignment, seq_id
     arithmetic and the sampling keep-predicate are all value-checked —
     not just row counts."""
+    # whitespace class shared verbatim with the operator (literal unicode
+    # chars mean the same in Java regex and RE2; round-5 ADVICE #4)
+    ws = TP.WHITESPACE_CLASS
     norm = (
         "SELECT 'norm' AS variant, doc_id, "
         r"trim(regexp_replace(regexp_replace(text, "
         r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), "
-        r"'\s+', ' ', 'g')) AS s, "
+        f"'{ws}', ' ', 'g')) AS s, "
         "CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2, "
         "CAST(NULL AS BIGINT) AS v3 FROM documents"
     )

