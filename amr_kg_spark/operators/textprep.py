@@ -274,6 +274,7 @@ def corpus_stats(
     text_col: str = "text",
     exact: bool = True,
     approx_accuracy: int = 10000,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Per-stratum corpus report: document count, token totals, token-count
     quantiles (p50/p90/p99) and mean characters — the numbers a mix
@@ -287,14 +288,21 @@ def corpus_stats(
     sketch, bounded memory, rank error <= 1/approx_accuracy) — tested to
     stay within tolerance of the exact quantiles.
 
-    ``token_counter`` note: pass a pre-tokenized frame by aliasing your
-    own count into ``text_col``'s token expression upstream if you need
-    BPE-accurate stats; see :func:`amr_kg_spark.operators.tokenize`."""
+    ``token_count_col`` switches the counting basis: by default tokens
+    are the Catalyst ``\\W+`` word count; pass the name of a precomputed
+    count column (e.g. from
+    :func:`amr_kg_spark.operators.tokenize.with_token_counts` with the
+    BPE counter) to report in real subword tokens instead."""
     from .dedup import tokens_col
 
+    nt = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else F.size(tokens_col(text_col)).cast("long")
+    )
     base = docs.select(
         F.col(stratum_col).alias("stratum"),
-        F.size(tokens_col(text_col)).alias("__nt"),
+        nt.alias("__nt"),
         F.length(text_col).alias("__nc"),
     )
     if exact:

@@ -69,6 +69,15 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--num-bins", type=int, default=1024)
     ap.add_argument("--shuffle-seed", type=int, default=None)
+    ap.add_argument(
+        "--tokenizer", choices=("whitespace", "bpe"), default="whitespace",
+        help="token-count basis for --mix/--budget: Catalyst word count "
+        "(default) or a BPE merge table trained on the corpus (real "
+        "subword counts via a batched Arrow UDF)",
+    )
+    ap.add_argument("--bpe-merges", type=int, default=256)
+    ap.add_argument("--bpe-sample", type=int, default=2000,
+                    help="lowest-id docs the BPE trainer reads (driver-side)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -184,7 +193,23 @@ def main() -> None:
             ),
             "after_sample",
         )
-    toks = kept.withColumn("n_tokens", F.size(tokens_col("text")))
+    # token-count basis for mixing + packing: whitespace (Catalyst) or a
+    # BPE merge table trained driver-side on a deterministic sample of the
+    # SURVIVING corpus (kept is persisted, so the sample reads cache)
+    if args.tokenizer == "bpe":
+        from amr_kg_spark.operators.tokenize import (
+            sample_texts,
+            train_bpe,
+            with_token_counts,
+        )
+
+        merges = train_bpe(
+            sample_texts(kept, n=args.bpe_sample), num_merges=args.bpe_merges
+        )
+        counts["bpe_merges_trained"] = len(merges)
+        toks = with_token_counts(kept, counter="bpe", merges=merges)
+    else:
+        toks = kept.withColumn("n_tokens", F.size(tokens_col("text")))
     if args.mix:
         toks = checkpointed(
             mix_to_token_budget(

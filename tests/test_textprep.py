@@ -466,6 +466,7 @@ def test_prep_corpus_job_end_to_end(tmp_path):
             "--benchmark", bench, "--decontam-n", "8",
             "--min-quality", "0.4", "--lang", "en",
             "--sample", "en:0.9", "--budget", "512", "--shuffle-seed", "13",
+            "--tokenizer", "bpe", "--bpe-merges", "64",
         ],
         capture_output=True, text=True, env=env, timeout=600,
     )
@@ -478,6 +479,7 @@ def test_prep_corpus_job_end_to_end(tmp_path):
     vals = [stats[k] for k in chain]
     assert vals == sorted(vals, reverse=True), stats
     assert stats["rows_out"] > 0 and stats["total_tokens"] > 0
+    assert stats["bpe_merges_trained"] > 0, "BPE counter must be active"
     assert os.path.isdir(rej + "/quality")
 
 
