@@ -512,10 +512,13 @@ def dedup_keep_representatives(
     n: int = 3,
     threshold: float = 0.8,
     method: str = "minhash",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: the operator a training-data pipeline
     actually runs. Near-dup PAIRS (banded MinHash + exact rerank by
-    default; ``method="exact"`` for the prefix-filtered exact join) are
+    default; ``method="exact"`` for the prefix-filtered exact join; or
+    pass any precomputed ``pairs`` frame, e.g. semantic pairs from
+    ``featurize.semantic_neardup_pairs``) are
     closed into clusters with pointer-jumping connected components, and
     ONE representative per cluster survives — min id, the deterministic
     A5 first-wins policy. Docs in no pair pass through untouched, so the
@@ -532,7 +535,11 @@ def dedup_keep_representatives(
     """
     from .canonicalize import connected_components
 
-    if method == "exact":
+    if pairs is not None:
+        # precomputed pair source (e.g. featurize.semantic_neardup_pairs):
+        # any (id_a, id_b) frame plugs into the same CC + keep-min tail
+        pass
+    elif method == "exact":
         pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
     else:
         pairs = minhash_pairs_native(

@@ -1,0 +1,158 @@
+"""Deterministic text -> embedding featurizer, Catalyst-only — so the
+embedding operators (near-dup pairs, kNN join, IVF, quantization) can run
+end-to-end from raw text without externally supplied vectors (round-5
+verdict item #4).
+
+The construction is a signed random projection of the hashed
+term-frequency vector (the dense cousin of SimHash, and equivalent to
+HashingTF followed by a +/-1 random-projection matrix):
+
+    h(tok)  = first 8 hex chars of md5(tok) as an unsigned 32-bit int
+              (the exact token hash simhash32 uses — already replicated
+              in the DuckDB oracle dialect)
+    emb[j]  = sum over distinct tokens of (+1 if bit j of h(tok) else -1)
+
+Each output dimension j is the token set's vote along the j-th random
+hyperplane, where the hyperplane's +/-1 signs come from bit j of the
+token hash. Johnson-Lindenstrauss applies: cosine between these vectors
+approximates the cosine between the underlying (hashed) bag-of-words
+vectors, which is what text near-dup detection needs. ``dim <= 32``
+because the signs are the 32 md5-derived bits; that is plenty for
+near-dup (SimHash gets by with the same 32 bits binarized).
+
+Scale shape: one projection — the token array materializes once, then a
+``transform`` over the dim indices aggregates it; no explode, no
+shuffle, no UDF (plan-asserted in tests). The DuckDB oracle replays the
+identical arithmetic (votes are integers, so float equality is exact).
+
+``semantic_neardup_pairs`` then composes the featurizer with the
+engine's existing banding pattern, swapping MinHash's shingle bands for
+random-hyperplane signature bands over the embedding: b bands of r bits
+each; two docs are candidates iff they share ANY band's full signature
+(recall = 1-(1-p^r)^b with p = 1 - theta/pi per bit), and candidates are
+exact-reranked on true cosine. Never all-pairs; the band join moves
+(id, band, signature) longs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+
+def _md5_int32(tok: F.Column) -> F.Column:
+    """First 8 md5 hex chars as an unsigned 32-bit int — the simhash32
+    token hash (dedup.py:348), shared so the oracle dialect is proven."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def featurize_text(
+    docs: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Add a deterministic ``array<double>`` embedding of the text (see
+    module docstring for the construction). Pure function of the text —
+    no fitted state, no seed, reproducible across clusters and resumes.
+    Empty/token-free texts embed as the zero vector (which the cosine
+    operators filter as norm-0, by contract)."""
+    if not 1 <= dim <= 32:
+        raise ValueError("dim must be in [1, 32] (signs are 32 md5 bits)")
+    toks = F.array_distinct(tokens_col(text_col))
+    hashes = F.transform(toks, _md5_int32)
+    # bit j of h via exact power-of-2 double division (shiftright needs a
+    # literal shift amount; h < 2^32 and 2^j are exact in double, so
+    # floor(h / 2^j) == h >> j bit-exactly)
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            F.col("__tokh"),
+            F.lit(0.0),
+            lambda acc, h: acc
+            + F.when(
+                F.pmod(
+                    F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("long"),
+                    F.lit(2),
+                )
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+    )
+    return (
+        docs.withColumn("__tokh", hashes)
+        .withColumn(out_col, votes)
+        .drop("__tokh")
+    )
+
+
+def semantic_neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 32,
+    bands: int = 8,
+    band_bits: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic near-duplicate pairs from RAW TEXT: featurize, band by
+    random-hyperplane signatures (one signature long per band; candidates
+    share any band), exact-rerank candidates on true embedding cosine
+    >= ``threshold``. Same output contract as ``embedding_neardup_pairs``
+    (id_a < id_b, cosine rounded for display, threshold on unrounded).
+
+    Scale shape: the self-join keys on (band, signature) longs — never
+    all-pairs; each doc contributes ``bands`` rows, which carry the
+    dim-length embedding so candidates rerank without a second join
+    (dim*8 bytes per row; at larger dim, join ids only and re-join
+    embeddings). Hyperplanes are seeded driver-side literals
+    (bands x band_bits x dim floats, tiny)."""
+    from .similarity import make_hyperplanes, rhp_signature
+
+    emb = featurize_text(docs, dim=dim, text_col=text_col).select(
+        F.col(id_col).alias("id"), F.col("embedding").alias("v")
+    )
+    sigs = [
+        rhp_signature("v", make_hyperplanes(dim, band_bits, seed + 1000 * b))
+        .alias(f"__s{b}")
+        for b in range(bands)
+    ]
+    banded = emb.select("id", "v", *sigs).select(
+        "id",
+        "v",
+        F.posexplode(F.array(*[F.col(f"__s{b}") for b in range(bands)])).alias(
+            "band", "sig"
+        ),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "sig"
+    )
+    b_ = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "sig"
+    )
+    cand = (
+        a.join(b_, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    na, nb = F.sqrt(dot(F.col("v_a"), F.col("v_a"))), F.sqrt(
+        dot(F.col("v_b"), F.col("v_b"))
+    )
+    cos = dot(F.col("v_a"), F.col("v_b")) / (na * nb)
+    return (
+        cand.filter((na > 0) & (nb > 0))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )

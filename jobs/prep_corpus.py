@@ -16,8 +16,11 @@ Stage order (each a library operator, composed, nothing bespoke):
   3. corpus_filter          — single-pass quality/lang/repetition gates
   3.5 dedup_lines           — optional corpus-wide boilerplate-line dedup
   4. dedup_keep_representatives — near-dup clusters -> keep min id
+  4.5 semantic dedup        — optional embedding-cosine near-dup removal
+      (featurize_text: deterministic text->vector, no external vectors)
   5. decontaminate          — drop docs sharing n-grams with --benchmark
   6. stratified_sample / mix_to_token_budget — deterministic mix
+      (--tokenizer bpe counts real subword tokens for the budgets)
   7. pack_sequences         — budget-token streams (optionally shuffled)
 
 Scale notes: stages 1-3 fuse into ONE scan-side projection (no exchange
@@ -58,6 +61,12 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--lang", default=None, help="comma list; default: any")
     ap.add_argument("--dedup-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--semantic-dedup", type=float, default=None, metavar="COSINE",
+        help="ALSO drop embedding-cosine near-dups at this threshold, "
+        "using the deterministic text featurizer (no external vectors): "
+        "RHP-banded candidate pairs + exact rerank -> keep min-id rep",
+    )
     ap.add_argument(
         "--dedup-lines", type=int, default=None, metavar="MIN_CHARS",
         help="corpus-wide line dedup before doc dedup; lines shorter than "
@@ -176,6 +185,19 @@ def main() -> None:
         ),
         "after_dedup",
     )
+
+    # 4.5: semantic near-dup removal (optional) — embedding-cosine dedup
+    # driven entirely from raw text via the deterministic featurizer
+    if args.semantic_dedup is not None:
+        from amr_kg_spark.operators.featurize import semantic_neardup_pairs
+
+        sem_pairs = semantic_neardup_pairs(
+            kept, threshold=args.semantic_dedup
+        )
+        kept = checkpointed(
+            dedup_keep_representatives(kept, pairs=sem_pairs),
+            "after_semantic_dedup",
+        )
 
     # 5: benchmark decontamination (optional)
     if args.benchmark:

@@ -467,6 +467,7 @@ def test_prep_corpus_job_end_to_end(tmp_path):
             "--min-quality", "0.4", "--lang", "en",
             "--sample", "en:0.9", "--budget", "512", "--shuffle-seed", "13",
             "--tokenizer", "bpe", "--bpe-merges", "64",
+            "--semantic-dedup", "0.95",
         ],
         capture_output=True, text=True, env=env, timeout=600,
     )
@@ -474,7 +475,8 @@ def test_prep_corpus_job_end_to_end(tmp_path):
     stats = json.loads(
         [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     )
-    chain = ["rows_in", "after_filter", "after_dedup", "after_decontam",
+    chain = ["rows_in", "after_filter", "after_dedup",
+             "after_semantic_dedup", "after_decontam",
              "after_sample", "rows_out"]
     vals = [stats[k] for k in chain]
     assert vals == sorted(vals, reverse=True), stats
