@@ -327,6 +327,38 @@ def q_textprep(spark, sf):
     )
 
 
+def q_prep_corpus(spark, sf):
+    """Corpus-prep bench headline (round-5 verdict item #5): the
+    prep_corpus job's hot path — normalize -> PII scrub -> single-pass
+    quality gate -> exact near-dup dedup (keep min-id representatives) ->
+    pack into 2048-token sequences — composed WITHOUT the job's audit
+    persists, so the bench measures the raw end-to-end plan. Not a
+    registry row (the constituent operators each carry their own value
+    oracle; this entry exists to put a tracked wall-clock number on the
+    LLM-pipeline path, like kg_triples does for the KG path)."""
+    from ..session import fan_out, stable_checkpoint
+
+    docs = fan_out(_docs(spark, sf))
+    cleaned = (
+        TP.scrub_pii(
+            TP.normalize_text(docs), text_col="text_norm", out_col="text_clean"
+        )
+        .drop("text")
+        .withColumnRenamed("text_clean", "text")
+    )
+    # stage boundary, exactly like the job's persisted quality stage: left
+    # lazy, the reject_reason pushdown inlines the whole scrub+signal
+    # chain into the scan filter AND each signal lambda (measured 19
+    # copies of the scrub regexes in the plan, 5x the wall) — the
+    # checkpoint makes the cleaned+scored text evaluate once per row
+    sig = stable_checkpoint(X.corpus_filter(cleaned))
+    kept = sig.filter(F.col("reject_reason").isNull()).select(
+        "doc_id", "lang", "text", "n_tokens"
+    )
+    deduped = D.dedup_keep_representatives(kept, n=3, threshold=0.8, method="exact")
+    return TP.pack_sequences(deduped, budget=2048)
+
+
 # --- multimodal plumbing --------------------------------------------------------
 def q_media_features(spark, sf):
     return M.extract_features(M.synth_media(spark, sf)).select(

@@ -47,6 +47,12 @@ R3_MEDIANS = {
     "dp_minhash_native": 1.891,
     "dp_token_count": 0.228,
 }
+# queries added after round 3 guard against their own first calm-window
+# recording (same 2x rule)
+LATER_MEDIANS = {
+    "dp_prep_corpus": 7.15,  # round-6 recording (min-of-3 7.08/7.15/8.08)
+}
+GUARD_MEDIANS = {**R3_MEDIANS, **LATER_MEDIANS}
 GUARD_FACTOR = 2.0
 
 HEADLINE = [
@@ -64,6 +70,9 @@ HEADLINE = [
     "dp_cosine_topk",
     "dp_minhash_native",
     "dp_token_count",
+    # end-to-end corpus-prep path (normalize->scrub->filter->dedup->pack),
+    # the LLM-pipeline counterpart of kg_triples (round-5 verdict item #5)
+    "dp_prep_corpus",
 ]
 
 
@@ -77,13 +86,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from amr_kg_spark.queries import all_queries
-    from amr_kg_spark.queries.datapipe import q_minhash_native, q_token_count
+    from amr_kg_spark.queries.datapipe import (
+        q_minhash_native,
+        q_prep_corpus,
+        q_token_count,
+    )
 
     queries, _ = all_queries()
     # benched standalone; their driver-registry surfaces live inside the
-    # merged dp_minhash_pairs / dp_text_basic rows
+    # merged dp_minhash_pairs / dp_text_basic rows (q_prep_corpus composes
+    # operators that each carry their own registry oracle)
     queries["dp_minhash_native"] = q_minhash_native
     queries["dp_token_count"] = q_token_count
+    queries["dp_prep_corpus"] = q_prep_corpus
     spark = get_spark(app_name="amr-kg-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -177,9 +192,9 @@ def main() -> None:
     # meaningful at the recorded config (sf0.1); guard is skipped elsewhere.
     regressions = {}
     if sf == "0.1" and str(cores) == "32":
-        for name, r3 in R3_MEDIANS.items():
-            if name in times and times[name] > GUARD_FACTOR * r3:
-                regressions[name] = {"min": times[name], "r3_median": r3}
+        for name, base in GUARD_MEDIANS.items():
+            if name in times and times[name] > GUARD_FACTOR * base:
+                regressions[name] = {"min": times[name], "baseline_median": base}
     if regressions:
         out["regressions"] = regressions
     print(json.dumps(out))
