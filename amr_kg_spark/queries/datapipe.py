@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import featurize as FZ
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
@@ -318,12 +319,45 @@ def q_textprep(spark, sf):
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    # round-6 variants: URL stripping, corpus-wide line dedup and the
+    # text->embedding featurizer move from pytest-only to the driver's
+    # value gate (full text + counts / all 32 dims in the hash)
+    urls = TP.strip_urls(docs).select(
+        F.lit("urls").alias("variant"), "doc_id",
+        F.col("text_nourl").alias("s"),
+        F.col("n_urls").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    lines = D.dedup_lines(docs).select(
+        F.lit("lines").alias("variant"), "doc_id",
+        F.col("text_deduped").alias("s"),
+        F.col("n_lines_dropped").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    emb32 = FZ.featurize_text(docs, dim=32)
+    embed = emb32.select(
+        F.lit("embed").alias("variant"), "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("embedding"), lambda v: v.cast("int").cast("string")
+            ),
+            ",",
+        ).alias("s"),
+        F.element_at("embedding", 1).cast("long").alias("v1"),
+        F.element_at("embedding", 2).cast("long").alias("v2"),
+        F.element_at("embedding", 3).cast("long").alias("v3"),
+    )
     return (
         norm.unionByName(scrub)
         .unionByName(pack)
         .unionByName(samp)
         .unionByName(mix)
         .unionByName(dec)
+        .unionByName(urls)
+        .unionByName(lines)
+        .unionByName(embed)
     )
 
 
@@ -793,8 +827,62 @@ FROM (
   GROUP BY sh.doc_id
 )
 """
+    # urls: the RE2-safe URL pattern replayed verbatim (single quotes in
+    # the pattern's character classes doubled for the SQL literal)
+    upat = TP.URL_PATTERN.replace("'", "''")
+    urls = f"""
+SELECT 'urls' AS variant, doc_id,
+       regexp_replace(text, '{upat}', '<URL>', 'g') AS s,
+       CAST(len(regexp_extract_all(text, '{upat}')) AS BIGINT) AS v1,
+       CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM documents
+"""
+
+    # lines: corpus-wide first-occurrence line dedup — the same window
+    # formulation the operator uses, over line STRINGS (Spark windows over
+    # xxhash64(line); same hash-vs-string equivalence as decontam)
+    lines = """
+SELECT 'lines' AS variant, t.doc_id, coalesce(re.txt, '') AS s,
+       CAST(len(t.ls) - coalesce(re.kept, 0) AS BIGINT) AS v1,
+       CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents) t
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+         count(*) AS kept
+  FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+    )
+  ) WHERE rn = 1 GROUP BY doc_id
+) re USING (doc_id)
+"""
+
+    # embed: the signed-random-projection featurizer, every dimension —
+    # integer votes, so the string join and the BIGINT casts are exact
+    embed = f"""
+SELECT 'embed' AS variant, doc_id,
+       array_to_string(list_transform(emb, x -> CAST(CAST(x AS INT) AS VARCHAR)), ',') AS s,
+       CAST(emb[1] AS BIGINT) AS v1, CAST(emb[2] AS BIGINT) AS v2,
+       CAST(emb[3] AS BIGINT) AS v3
+FROM (
+  SELECT doc_id,
+         list_transform(generate_series(0, 31), j ->
+           CAST(coalesce(list_sum(list_transform(hs, hh ->
+             CASE WHEN (hh >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) AS DOUBLE)) AS emb
+  FROM (
+    SELECT doc_id,
+           list_transform(list_distinct({_TOKS}), tok -> {_MD5_INT}) AS hs
+    FROM documents
+  )
+)
+"""
     return " UNION ALL ".join(
-        f"({q})" for q in (norm, scrub, pack, sample, mix, decontam)
+        f"({q})"
+        for q in (norm, scrub, pack, sample, mix, decontam, urls, lines, embed)
     )
 
 

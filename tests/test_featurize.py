@@ -134,3 +134,17 @@ def test_semantic_dedup_keep_representatives(spark):
     ids = {r.doc_id for r in kept.collect()}
     assert 12 in ids and 10 in ids
     assert 11 not in ids, "near-dup member must drop in favor of min id"
+
+
+def test_semantic_neardup_plan_never_cartesian(spark):
+    """The banded candidate join must plan as an equi join on
+    (band, signature) — never a cartesian/broadcast-nested-loop product
+    over the corpus (the scale contract of the LSH family)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = semantic_neardup_pairs(docs, threshold=0.9)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan.replace("array_join", "")
