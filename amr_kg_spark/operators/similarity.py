@@ -13,6 +13,14 @@
   ``n_probe`` clusters whose centroids are nearest. At scale the cluster
   id is the table's partition key, so probing is partition pruning: a
   query reads n_probe/n_clusters of the corpus from disk.
+- ``cosine_topk_join`` / ``ivf_topk_join``: the BATCH siblings — top-k
+  for every row of a query set in one pass. Exact (deliberate broadcast
+  nested-loop: the |Q| x |C| product IS exact batch kNN) and ANN
+  (per-query probe selection in Catalyst, broadcast hash join on the
+  cluster id — never |Q| x |C|).
+- ``quantize_embeddings`` / ``dequantize_embeddings``: symmetric int8 —
+  a 4x storage/shuffle/broadcast cut at ~1e-2 cosine error (tested),
+  composable with both joins.
 
 Hyperplanes are generated from a seeded RNG on the driver and shipped as
 literals (they are tiny: R x dim floats).
@@ -380,4 +388,94 @@ def dequantize_embeddings(
         F.transform(
             F.col(q_col), lambda v: v.cast("double") * F.col(scale_col)
         ),
+    )
+
+
+def ivf_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch IVF ANN JOIN: approximate top-k corpus neighbors for EVERY
+    query row — the ANN sibling of :func:`cosine_topk_join` (which is
+    exact but reads the whole corpus per batch). Completes the operator
+    symmetry: single-query exact/ANN (``cosine_topk`` / ``ivf_topk*``)
+    and batch exact (``cosine_topk_join``) already exist.
+
+    Per query, the ``n_probe`` nearest centroids are selected IN CATALYST
+    (centroids are tiny driver literals: sort an array of (l2-dist, cid)
+    structs, slice, explode — no driver loop, so the query side can be a
+    full DataFrame, not one literal vector); the corpus carries its
+    cluster id (``assign_fixed_centroids``, or a pre-materialized
+    cluster-partitioned table); candidates meet on an EQUI join on
+    ``cluster`` and exact cosine reranks within them.
+
+    Scale shape: the query side (|Q| x n_probe rows) broadcasts; the
+    corpus scans ONCE and each row meets only the queries probing its
+    cluster — a broadcast hash join on a long key, never |Q| x |C|. With
+    the corpus written partitioned by cluster, the same join becomes
+    partition-pruned I/O. Zero-norm vectors are filtered on both sides
+    (cosine undefined), matching ``cosine_topk_join``. Deterministic:
+    centroid ties break on cid (struct ordering), rank ties on corpus id.
+    """
+    from pyspark.sql import Window
+
+    def l2sq(c: list[float], col: F.Column) -> F.Column:
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(
+                col, carr, lambda p, q: (p.cast("double") - q) * (p.cast("double") - q)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    probe_structs = F.array(
+        *[
+            F.struct(
+                l2sq(c, F.col("__qv")).alias("d"), F.lit(int(cid)).alias("cid")
+            )
+            for cid, c in centroids
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(probe_structs), 1, n_probe), lambda s: s["cid"]
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .filter(_norm(F.col("__qv")) > 0)
+        .select("query_id", "__qv", F.explode(probes).alias("cluster"))
+    )
+    c = (
+        assign_fixed_centroids(corpus, centroids, vec_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__cv"),
+            "cluster",
+        )
+        .filter(_norm(F.col("__cv")) > 0)
+    )
+    cos = _dot(F.col("__cv"), F.col("__qv")) / (
+        _norm(F.col("__cv")) * _norm(F.col("__qv"))
+    )
+    scored = c.join(F.broadcast(q), "cluster").select(
+        "query_id", "vec_id", cos.alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "vec_id", F.round("_cos", 6).alias("cosine"),
+            F.col("__rn").alias("rank"),
+        )
     )

@@ -1,0 +1,81 @@
+"""Streaming corpus-prep operators.
+
+The stateless prep stages (normalize, scrub, strip_urls, corpus_filter,
+stratified_sample) are pure projections/filters and run on streams
+unchanged — tests/test_streaming.py proves their per-batch output equals
+batch. This module adds the one prep stage that is genuinely STATEFUL:
+sequence packing, where a document's (seq_id, seq_offset) depends on the
+cumulative token count of everything before it in its pack stream.
+
+``stream_pack_sequences`` keeps one number per pack bin in streaming
+state (the bin's running token total) via ``applyInPandasWithState`` —
+bounded state (num_bins longs, regardless of corpus size), append-mode
+output, exactly the incremental-ingest pattern: documents land
+continuously, each micro-batch extends every bin's stream and emits the
+final packing coordinates for the new documents only.
+
+Equivalence contract (tested): when documents arrive in nondecreasing
+id order per bin (append-only ingest with monotone ids — the normal
+case), the streamed assignment is IDENTICAL to batch
+``pack_sequences``. Under out-of-order arrival the stream packs in
+arrival order within each micro-batch (sorted by id inside the batch) —
+the honest streaming semantics; a training job that needs the batch
+order re-packs at epoch time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEQ_BIN_SHIFT = 1 << 40  # same globally-unique seq_id layout as batch
+
+
+def stream_pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_bins: int = 1024,
+) -> DataFrame:
+    """Incremental GPT-style sequence packing over a stream (see module
+    docstring). Same pure-function bin assignment as batch
+    (``xxhash64(id) % num_bins``); per-bin state = one long."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    binned = docs.withColumn(
+        "pack_bin", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_bins))
+    )
+    out_schema = (
+        f"{id_col} long, pack_bin long, {token_col} long, "
+        "seq_id long, seq_offset long"
+    )
+    state_schema = "cum long"
+
+    def update(key, pdfs, state: GroupState):
+        (pack_bin,) = key
+        cum = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(id_col).iterrows():
+                nt = int(r[token_col])
+                rows.append(
+                    (
+                        int(r[id_col]),
+                        int(pack_bin),
+                        nt,
+                        int(pack_bin) * SEQ_BIN_SHIFT + cum // budget,
+                        cum % budget,
+                    )
+                )
+                cum += nt
+        state.update((cum,))
+        yield pd.DataFrame(
+            rows,
+            columns=[id_col, "pack_bin", token_col, "seq_id", "seq_offset"],
+        )
+
+    return binned.groupBy("pack_bin").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -81,6 +81,13 @@ def main() -> None:
     ap.add_argument("--num-bins", type=int, default=1024)
     ap.add_argument("--shuffle-seed", type=int, default=None)
     ap.add_argument(
+        "--stage-dir", default=None,
+        help="persist every audited stage through the lineage StageRunner "
+        "(atomic publish + commit marker + lineage rows): a re-run with "
+        "the same dir resumes from committed stages instead of recomputing "
+        "the chain — the checkpoint/resume contract applied to corpus prep",
+    )
+    ap.add_argument(
         "--tokenizer", choices=("whitespace", "bpe"), default="whitespace",
         help="token-count basis for --mix/--budget: Catalyst word count "
         "(default) or a BPE merge table trained on the corpus (real "
@@ -114,6 +121,11 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     counts = {"rows_in": docs.count()}
     cached = []
+    runner = None
+    if args.stage_dir:
+        from amr_kg_spark.lineage import StageRunner
+
+        runner = StageRunner(spark, args.stage_dir)
 
     def checkpointed(df, key):
         """Per-stage audit count WITHOUT recomputing the upstream chain:
@@ -121,7 +133,16 @@ def main() -> None:
         stage once and every downstream consumer reuses it (the 100 TB
         alternative to counting is df.observe metrics riding the final
         write; persist keeps the counts exact under the multi-branch
-        stages here). Unpersisted before exit."""
+        stages here). Unpersisted before exit.
+
+        With --stage-dir the stage instead routes through the lineage
+        StageRunner: atomic parquet publish + commit marker + lineage
+        row, and an already-committed stage is READ BACK rather than
+        recomputed — a crashed or killed run resumes mid-pipeline."""
+        if runner is not None:
+            out = runner.run(key, lambda: df)
+            counts[key] = out.count()
+            return out
         df = df.persist()
         counts[key] = df.count()
         cached.append(df)

@@ -656,3 +656,138 @@ def test_dedup_lines_stage_materializes_once(spark):
     finally:
         deduped.unpersist()
         base.unpersist()
+
+
+def _grid_centroids(spark, n=16):
+    """Deterministic centroids for the batch-IVF tests: the first n corpus
+    vectors by id (any fixed list works; the operator contract only needs
+    FIXED centroids)."""
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(n)
+        .collect()
+    )
+    return [(i, [float(v) for v in r.embedding]) for i, r in enumerate(rows)]
+
+
+def test_ivf_topk_join_full_probe_equals_exact(spark):
+    """n_probe = n_clusters means every cluster is probed — the batch IVF
+    join must then equal the exact batch kNN join row-for-row."""
+    from amr_kg_spark.operators.similarity import cosine_topk_join, ivf_topk_join
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _grid_centroids(spark)
+    got = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in ivf_topk_join(
+            queries, emb, cents, k=5, n_probe=len(cents)
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in cosine_topk_join(queries, emb, k=5).collect()
+    }
+    assert got == exact and len(got) > 0
+
+
+def test_ivf_topk_join_probe_recall_and_values(spark):
+    """At n_probe < n_clusters the join is approximate: every returned
+    cosine must still be the EXACT cosine for that pair (numpy oracle),
+    ranks must be dense per query, and top-1 recall vs exact stays
+    useful (the corpus clusters are real, so the nearest neighbor's
+    cluster is usually probed)."""
+    import numpy as np
+
+    from amr_kg_spark.operators.similarity import cosine_topk_join, ivf_topk_join
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _grid_centroids(spark)
+    got = ivf_topk_join(queries, emb, cents, k=5, n_probe=4).collect()
+    assert got, "probe must return candidates"
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    for r in got:
+        q, c = vecs[r.query_id], vecs[r.vec_id]
+        exp = float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c)))
+        assert abs(r.cosine - exp) < 1e-6, (r.query_id, r.vec_id)
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+    exact_top1 = {
+        r.query_id: r.vec_id
+        for r in cosine_topk_join(queries, emb, k=1).collect()
+    }
+    hit = sum(
+        1
+        for qid, vid in exact_top1.items()
+        if any(r.vec_id == vid and r.rank == 1 for r in got if r.query_id == qid)
+    )
+    assert hit / len(exact_top1) >= 0.5, (hit, len(exact_top1))
+
+
+def test_ivf_topk_join_plan_is_equi_join(spark):
+    """The candidate meet must be a broadcast hash join on the cluster id
+    — the corpus never cross-joins the query set (the whole point of the
+    batch ANN path vs cosine_topk_join's deliberate BNLJ)."""
+    from amr_kg_spark.operators.similarity import ivf_topk_join
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk_join(queries, emb, _grid_centroids(spark), k=5, n_probe=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_join_over_quantized_embeddings(spark):
+    """The 100 TB bandwidth play: run the batch kNN join over int8
+    dequantized embeddings (4x smaller to shuffle/broadcast) and compare
+    against the fp result — overlap@5 stays high and returned cosines
+    stay within the quantizer's measured distortion bound."""
+    from amr_kg_spark.operators.similarity import (
+        cosine_topk_join,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    dq = dequantize_embeddings(quantize_embeddings(emb)).select(
+        "vec_id", F.col("embedding_dq").alias("embedding")
+    )
+    queries = emb.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_dq = dq.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = cosine_topk_join(queries, emb, k=5).collect()
+    q8 = cosine_topk_join(q_dq, dq, k=5).collect()
+    fp_by_q: dict = {}
+    q8_by_q: dict = {}
+    for r in fp:
+        fp_by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in q8:
+        q8_by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(fp_by_q) == set(q8_by_q)
+    overlaps = [
+        len(fp_by_q[q] & q8_by_q[q]) / 5 for q in fp_by_q
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.9, overlaps
+    # cosine distortion bounded by the quantizer's tested 1e-2 envelope
+    fp_cos = {(r.query_id, r.vec_id): r.cosine for r in fp}
+    for r in q8:
+        if (r.query_id, r.vec_id) in fp_cos:
+            assert abs(r.cosine - fp_cos[(r.query_id, r.vec_id)]) < 2e-2

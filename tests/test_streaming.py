@@ -208,3 +208,54 @@ def test_stream_textprep_projections_match_batch(spark):
         got = {tuple(r) for r in spark.read.parquet(outd).collect()}
         expected = {tuple(r) for r in prep(docs).collect()}
         assert got == expected and len(got) > 0
+
+
+def test_stream_pack_sequences_matches_batch(spark):
+    """Stateful streaming packing (one long of state per bin) must equal
+    batch pack_sequences exactly when documents arrive as id-ordered
+    drops (append-only ingest): two micro-batched file drops — low ids
+    then high ids — produce the identical (pack_bin, seq_id, seq_offset)
+    assignment for every document."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from amr_kg_spark.operators.dedup import tokens_col
+    from amr_kg_spark.operators.textprep import pack_sequences
+    from amr_kg_spark.streaming.stream_prep import stream_pack_sequences
+
+    BUDGET, BINS = 256, 8
+    with tempfile.TemporaryDirectory() as root:
+        ind, outd, ckpt = (os.path.join(root, x) for x in ("in", "out", "ckpt"))
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).withColumn("n_tokens", F.size(tokens_col("text")).cast("long"))
+        toks = docs.select("doc_id", "n_tokens")
+        median = toks.approxQuantile("doc_id", [0.5], 0)[0]
+        toks.filter(F.col("doc_id") < median).coalesce(1).write.mode(
+            "append"
+        ).parquet(ind)
+        _time.sleep(1.1)  # distinct mod-times so the source orders drops
+        toks.filter(F.col("doc_id") >= median).coalesce(1).write.mode(
+            "append"
+        ).parquet(ind)
+
+        stream = (
+            spark.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ind)
+        )
+        sq = stream_pack_sequences(stream, budget=BUDGET, num_bins=BINS)
+        run_available_now(sq, outd, ckpt)
+
+        got = {
+            (r.doc_id, r.pack_bin, r.seq_id, r.seq_offset)
+            for r in spark.read.parquet(outd).collect()
+        }
+        expected = {
+            (r.doc_id, r.pack_bin, r.seq_id, r.seq_offset)
+            for r in pack_sequences(toks, budget=BUDGET, num_bins=BINS)
+            .select("doc_id", "pack_bin", "seq_id", "seq_offset")
+            .collect()
+        }
+        assert got == expected and len(got) == toks.count()

@@ -633,3 +633,51 @@ def test_corpus_stats_approx_mode_within_tolerance(spark):
         ) if len(nts) > 1 else 0
         for c in ("p50_tokens", "p90_tokens", "p99_tokens"):
             assert abs(ap[s][c] - ex[s][c]) <= max(spread, 1), (s, c)
+
+
+def test_prep_corpus_job_stage_resume(tmp_path):
+    """--stage-dir routes every audited stage through the lineage
+    StageRunner: a second identical run resumes from committed stages —
+    no stage recomputes (lineage row count unchanged), stage counts and
+    final output identical."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    stage_dir = str(tmp_path / "stages")
+
+    def run(out):
+        r = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+                "--input", f"{SF_SMALL}/documents.parquet",
+                "--output", out, "--stage-dir", stage_dir,
+                "--min-quality", "0.4", "--budget", "512",
+            ],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(
+            [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run(str(tmp_path / "out1"))
+    lineage_files = lambda: sorted(
+        f for f in os.listdir(os.path.join(stage_dir, "lineage"))
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
+    committed = lineage_files()
+    assert committed, "first run must record lineage rows"
+    for st in ("after_filter", "after_dedup"):
+        assert os.path.exists(
+            os.path.join(stage_dir, "stages", st, "_SUCCESS")
+        ), st
+    s2 = run(str(tmp_path / "out2"))
+    assert lineage_files() == committed, "resume must not recompute stages"
+    assert s1 == s2, (s1, s2)
