@@ -649,10 +649,17 @@ def dedup_lines(
     Adds ``out_col`` and ``n_lines_dropped``.
 
     Scale shape: two exchanges, both necessary for a global claim —
-    (1) window on xxhash64(segment) to pick first occurrences (shuffle
-    key is a long; the segment string rides once), (2) groupBy id to
-    reassemble. No driver-side state; ties broken deterministically so
-    retries/resumes reproduce the same corpus."""
+    (1) groupBy xxhash64(segment) picking the first occurrence as
+    ``min(struct(id, pos, line))`` — a MAP-SIDE-COMBINABLE aggregate, so
+    a boilerplate line repeated across 10^9 documents reduces inside
+    every map task instead of sorting one giant window partition (the
+    round-5 formulation used ``row_number`` over the hash, which
+    serializes exactly the hottest keys this operator exists to remove);
+    (2) groupBy id to reassemble. "Short" is a property of the segment
+    TEXT, so every copy of a hash is equally exempt — exempt segments
+    bypass the aggregate entirely. No driver-side state; (id, pos) ties
+    are unique so the min is deterministic and retries/resumes reproduce
+    the same corpus."""
     import re
 
     # F.split takes a Java regex; sep is a literal (see docstring), so
@@ -661,14 +668,26 @@ def dedup_lines(
     sep_pat = re.escape(sep)
     pos = F.posexplode(F.split(F.col(text_col), sep_pat))
     lines = docs.select(F.col(id_col), pos.alias("__pos", "__line"))
-    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
-    kept = (
-        lines.withColumn("__h", F.xxhash64("__line"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(
-            (F.col("__rn") == 1) | (F.length("__line") < F.lit(min_chars))
+    exempt = lines.filter(F.length("__line") < F.lit(min_chars))
+    winners = (
+        lines.filter(F.length("__line") >= F.lit(min_chars))
+        .groupBy(F.xxhash64("__line").alias("__h"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("__pos").alias("pos"),
+                    F.col("__line").alias("line"),
+                )
+            ).alias("__first")
+        )
+        .select(
+            F.col("__first.id").alias(id_col),
+            F.col("__first.pos").alias("__pos"),
+            F.col("__first.line").alias("__line"),
         )
     )
+    kept = winners.unionByName(exempt)
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
