@@ -209,6 +209,7 @@ def mix_to_token_budget(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     seed: int = 42,
+    shards: int = 1,
 ) -> DataFrame:
     """Curriculum mixing to ABSOLUTE token budgets: per stratum, keep
     documents in deterministic ``xxhash64(id, seed)`` order until the
@@ -223,29 +224,43 @@ def mix_to_token_budget(
     widths — rescaling a budget only extends/truncates the same ordered
     stream (nesting property, like the sampler's fraction nesting).
 
-    Scale shape: one hash exchange on ``stratum_col`` + one window pass
+    Scale shape: one hash exchange on the window key + one window pass
     (cumulative sum in hash order) + a filter — no driver loop, no
     collect. Strata absent from ``budgets`` get budget 0 (dropped).
-    Skew note: a single giant stratum serializes its window into one
-    task; at 100 TB, split hot strata with a composite key (stratum,
-    xxhash64(id) % k) and give each shard budget/k — same contract, k
-    parallel streams."""
+
+    ``shards`` is the hot-stratum knob: ``shards=1`` (default) keeps one
+    stream per stratum — simplest, but a single giant stratum serializes
+    its window into one task. ``shards=k`` splits every stratum into k
+    deterministic sub-streams (``xxhash64(id, seed+1) % k``) with
+    ``ceil(budget / k)`` tokens each — k parallel window tasks per
+    stratum, same purity contract per shard. The selected SET differs
+    from shards=1 (k independent hash-ordered streams), overshoot is at
+    most one boundary document per shard, and the nesting property holds
+    per shard; pick k once per corpus and keep it (like ``num_bins``)."""
     mapping = F.create_map(
         *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
     )
     budget = F.coalesce(mapping[F.col(stratum_col)], F.lit(0)).cast("long")
     h = F.xxhash64(F.col(id_col), F.lit(seed))
+    if shards > 1:
+        shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(shards))
+        part_keys = [stratum_col, "__shard"]
+        budget = F.ceil(budget / F.lit(shards)).cast("long")
+    else:
+        shard = F.lit(0)
+        part_keys = [stratum_col]
     w = (
-        Window.partitionBy(stratum_col)
+        Window.partitionBy(*part_keys)
         .orderBy(h, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return (
-        docs.withColumn("__cb", cum_before)
+        docs.withColumn("__shard", shard)
+        .withColumn("__cb", cum_before)
         .filter(F.col("__cb") < budget)
         .withColumn("mix_tokens_before", F.col("__cb"))
-        .drop("__cb")
+        .drop("__cb", "__shard")
     )
 
 
@@ -346,4 +361,63 @@ def top_tokens(
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Fixed-token-window document chunking with overlap — the
+    context-window splitting step of embedding/retrieval prep (long
+    documents become overlapping ``chunk_tokens``-token windows advancing
+    by ``chunk_tokens - overlap``). Run AFTER :func:`normalize_text`:
+    tokens here are SPACE-split (not ``\\W+``), so rejoining with a space
+    reconstructs the normalized text exactly and chunks carry their
+    punctuation.
+
+    Output: one row per (doc, chunk) with ``chunk_idx`` (0-based),
+    ``out_col`` and ``n_chunk_tokens``. A document shorter than one
+    window yields exactly one chunk (possibly empty for empty text).
+
+    Scale shape: one projection + one ``posexplode`` — the token array
+    materializes once per row; window starts are a ``sequence`` literal
+    stride; no shuffle, no UDF. DuckDB-replayable arithmetic (tested)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("__ct")) - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(F.col("__ct"), s, chunk_tokens), " ").alias("txt"),
+            F.least(
+                F.size(F.col("__ct")) - s + F.lit(1), F.lit(chunk_tokens)
+            ).alias("nt"),
+        ),
+    )
+    ex = F.posexplode(F.col("__chunks"))
+    return (
+        docs.withColumn("__ct", toks)
+        .withColumn("__chunks", chunks)
+        .select(
+            F.col(id_col),
+            ex.alias("chunk_idx", "__c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("__c.txt").alias(out_col),
+            F.greatest(F.col("__c.nt"), F.lit(0)).cast("int").alias(
+                "n_chunk_tokens"
+            ),
+        )
     )

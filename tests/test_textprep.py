@@ -686,3 +686,107 @@ def test_prep_corpus_job_stage_resume(tmp_path):
     s2 = run(str(tmp_path / "out2"))
     assert lineage_files() == committed, "resume must not recompute stages"
     assert s1 == s2, (s1, s2)
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    """Fixed-window chunking with overlap: full value parity (ids, chunk
+    index, chunk text, token count) against the identical arithmetic in
+    DuckDB, plus structural properties (stride coverage, overlap region
+    equality, lossless reconstruction of the normalized text from
+    non-overlapped prefixes)."""
+    from amr_kg_spark.operators.textprep import chunk_documents, normalize_text
+
+    CH, OV = 40, 8
+    docs = normalize_text(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ).select("doc_id", F.col("text_norm").alias("text"))
+    out = chunk_documents(docs, chunk_tokens=CH, overlap=OV)
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in out.collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    from amr_kg_spark.operators.textprep import WHITESPACE_CLASS
+
+    step = CH - OV
+    exp = set(
+        con.execute(
+            f"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(text,
+                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                          '{WHITESPACE_CLASS}', ' ', 'g')) AS text
+              FROM documents
+            ),
+            t AS (SELECT doc_id, string_split(text, ' ') AS ct FROM n),
+            s AS (
+              SELECT doc_id, ct,
+                     generate_series(1, greatest(len(ct) - {OV}, 1), {step}) AS starts
+              FROM t
+            )
+            SELECT doc_id,
+                   unnest(generate_series(1, len(starts))) - 1 AS chunk_idx,
+                   unnest(list_transform(starts,
+                       st -> array_to_string(ct[st:st+{CH - 1}], ' '))) AS chunk_text,
+                   unnest(list_transform(starts,
+                       st -> greatest(least(len(ct) - st + 1, {CH}), 0))) AS nt
+            FROM s
+            """
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 0
+    # structural: chunk 0 + the post-overlap suffixes of later chunks
+    # reassemble the document exactly
+    by_doc: dict = {}
+    for d, i, txt, _ in got:
+        by_doc.setdefault(d, {})[i] = txt
+    sample = dict(list(by_doc.items())[:50])
+    originals = {
+        r.doc_id: r.text for r in docs.filter(
+            F.col("doc_id").isin(list(sample))
+        ).collect()
+    }
+    for d, chunks in sample.items():
+        rebuilt = chunks[0]
+        for i in range(1, len(chunks)):
+            rebuilt += " " + " ".join(chunks[i].split(" ")[OV:])
+        assert rebuilt == originals[d], d
+    # plan: projection + generate only, no shuffle
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_mix_to_token_budget_sharded(spark):
+    """shards=k (hot-stratum knob): per-shard budgets respected with at
+    most one boundary doc of overshoot each, total delivery >= the
+    stratum budget when tokens suffice, deterministic across calls, and
+    the shards=1 path is unchanged."""
+    from amr_kg_spark.operators.textprep import mix_to_token_budget
+
+    rows = [(i, "en", (i * 7) % 40 + 5) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    budgets = {"en": 2000}
+    base = {r.doc_id for r in mix_to_token_budget(docs, budgets).collect()}
+    k = 4
+    a = mix_to_token_budget(docs, budgets, shards=k).collect()
+    b = mix_to_token_budget(docs, budgets, shards=k).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    max_doc = max(t for _, _, t in rows)
+    per_shard = -(-budgets["en"] // k)
+    total = sum(r.n_tokens for r in a)
+    assert total >= budgets["en"], total
+    assert total <= budgets["en"] + k * (max_doc + per_shard - 1), total
+    for r in a:
+        assert r.mix_tokens_before < per_shard
+    # shards=1 remains the original single-stream selection
+    again = {r.doc_id for r in mix_to_token_budget(docs, budgets).collect()}
+    assert again == base
