@@ -257,6 +257,8 @@ TP_MIX_BUDGETS = {"en": 2000, "de": 500}
 # variant; n=3 shingles because the sandbox fixtures are short (prod: 13)
 TP_DECONTAM_MOD = 7
 TP_DECONTAM_N = 3
+TP_CHUNK_TOKENS = 40
+TP_CHUNK_OVERLAP = 8
 
 
 def q_textprep(spark, sf):
@@ -336,6 +338,19 @@ def q_textprep(spark, sf):
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    chunk = TP.chunk_documents(
+        TP.normalize_text(docs).select(
+            "doc_id", F.col("text_norm").alias("text")
+        ),
+        chunk_tokens=TP_CHUNK_TOKENS,
+        overlap=TP_CHUNK_OVERLAP,
+    ).select(
+        F.lit("chunk").alias("variant"), "doc_id",
+        F.col("chunk_text").alias("s"),
+        F.col("chunk_idx").cast("long").alias("v1"),
+        F.col("n_chunk_tokens").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     emb32 = FZ.featurize_text(docs, dim=32)
     embed = emb32.select(
         F.lit("embed").alias("variant"), "doc_id",
@@ -358,6 +373,7 @@ def q_textprep(spark, sf):
         .unionByName(urls)
         .unionByName(lines)
         .unionByName(embed)
+        .unionByName(chunk)
     )
 
 
@@ -880,9 +896,36 @@ FROM (
   )
 )
 """
+    # chunk: fixed-token-window chunking with overlap over the NORMALIZED
+    # text (space-split, exactly as the operator composes after
+    # normalize_text); parallel unnests stay aligned in DuckDB
+    step = TP_CHUNK_TOKENS - TP_CHUNK_OVERLAP
+    chunk = f"""
+SELECT 'chunk' AS variant, doc_id,
+       unnest(list_transform(starts,
+           st -> array_to_string(ct[st:st+{TP_CHUNK_TOKENS - 1}], ' '))) AS s,
+       CAST(unnest(generate_series(1, len(starts))) - 1 AS BIGINT) AS v1,
+       CAST(unnest(list_transform(starts,
+           st -> greatest(least(len(ct) - st + 1, {TP_CHUNK_TOKENS}), 0)))
+         AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT doc_id, ct,
+         generate_series(1, greatest(len(ct) - {TP_CHUNK_OVERLAP}, 1), {step}) AS starts
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(regexp_replace(text,
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '{ws}', ' ', 'g')), ' ') AS ct
+    FROM documents
+  )
+)
+"""
     return " UNION ALL ".join(
         f"({q})"
-        for q in (norm, scrub, pack, sample, mix, decontam, urls, lines, embed)
+        for q in (
+            norm, scrub, pack, sample, mix, decontam, urls, lines, embed, chunk
+        )
     )
 
 
