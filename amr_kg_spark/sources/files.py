@@ -208,3 +208,20 @@ def write_parquet_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSON-lines scan with an ENFORCED schema — the wire format crawl /
+    annotation dumps actually arrive in. The explicit schema matters at
+    scale twice over: it skips Spark's full-data inference pass, and it
+    keeps column pruning/predicate pushdown available to the json reader
+    (malformed rows land in the standard ``_corrupt_record`` handling via
+    ``mode=PERMISSIVE``)."""
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, Spark's native json writer)."""
+    df.write.mode(mode).json(path)

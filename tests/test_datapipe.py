@@ -791,3 +791,118 @@ def test_cosine_topk_join_over_quantized_embeddings(spark):
     for r in q8:
         if (r.query_id, r.vec_id) in fp_cos:
             assert abs(r.cosine - fp_cos[(r.query_id, r.vec_id)]) < 2e-2
+
+
+def test_unigram_lm_matches_duckdb(spark):
+    """Unigram LM quality scoring (CCNet-style stand-in): the fitted
+    (token, logp) table is value-equal to the same derivation in DuckDB,
+    and per-document mean logprob / OOV rate agree within float-sum
+    tolerance. Plan: LM broadcast into the scoring join."""
+    import duckdb
+
+    from amr_kg_spark.operators.text import fit_unigram_lm, unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    V, MC = 200, 2
+    lm = fit_unigram_lm(docs, vocab_size=V, min_count=MC)
+    got_lm = {(r.token, round(r.logp, 10)) for r in lm.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+    exp_lm = {
+        (t, round(lp, 10))
+        for t, lp in con.execute(
+            f"""
+            WITH tk AS (SELECT unnest({toks}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+            tot AS (SELECT sum(n) AS total FROM c)
+            SELECT token, ln(n / (SELECT CAST(total AS DOUBLE) FROM tot)) AS logp
+            FROM c WHERE n >= {MC}
+            ORDER BY n DESC, token LIMIT {V}
+            """
+        ).fetchall()
+    }
+    assert got_lm == exp_lm and len(got_lm) > 10  # corpus has <V eligible tokens
+
+    scored = unigram_logprob(docs, lm)
+    got = {r.doc_id: r for r in scored.collect()}
+    exp = {
+        d: (s, o, n)
+        for d, s, o, n in con.execute(
+            f"""
+            WITH tk AS (
+              SELECT doc_id, unnest({toks}) AS token FROM documents
+            ),
+            c AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+            tot AS (SELECT sum(n) AS total FROM c),
+            lm AS (
+              SELECT token, ln(n / (SELECT CAST(total AS DOUBLE) FROM tot)) AS logp
+              FROM c WHERE n >= {MC} ORDER BY n DESC, token LIMIT {V}
+            ),
+            fl AS (SELECT min(logp) AS floor FROM lm)
+            SELECT tk.doc_id,
+                   avg(coalesce(lm.logp, (SELECT floor FROM fl))) AS lm_score,
+                   avg(CASE WHEN lm.logp IS NULL THEN 1.0 ELSE 0.0 END) AS oov,
+                   count(*) AS n
+            FROM tk LEFT JOIN lm USING (token)
+            GROUP BY tk.doc_id
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exp) and len(got) > 0
+    for d, r in got.items():
+        s, o, n = exp[d]
+        assert abs(r.lm_score - s) < 1e-6, d  # float-sum order tolerance
+        assert abs(r.oov_rate - o) < 1e-9, d
+        assert r.n_tokens_scored == n, d
+    # sanity: natural-language docs outscore a junk doc under this corpus
+    junk = spark.createDataFrame(
+        [(999999, "zzqx vvkw jjqr pplm wwnb xxcv")], "doc_id long, text string"
+    )
+    junk_score = unigram_logprob(junk, lm).collect()[0].lm_score
+    assert junk_score < min(r.lm_score for r in got.values())
+    # plan: LM side broadcast, explode inside the scan stage
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_compression_ratio_matches_python_and_plan(spark):
+    """Compression-ratio signal: Arrow-UDF values equal direct zlib per
+    document; repetitive text scores far below prose; plan is one
+    ArrowEvalPython stage with zero exchanges."""
+    import zlib
+
+    from amr_kg_spark.operators.text import with_compression_ratio
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = with_compression_ratio(docs).select("doc_id", "text", "compression_ratio")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        raw = r.text.encode("utf-8")
+        exp = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else None
+        assert r.compression_ratio == exp, r.doc_id
+    fx = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "The committee reviewed seventeen distinct proposals before "
+                "narrowing the field to a shortlist of four finalists."),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.compression_ratio for r in with_compression_ratio(fx).collect()}
+    assert got[1] < 0.1 < got[2]
+    assert got[3] is None and got[4] is None
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan

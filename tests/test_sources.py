@@ -157,3 +157,27 @@ def test_jdbc_derby_chembl_extraction_with_pushdown(spark):
         assert "STANDARD_RELATION" in joined.upper()
         assert "STANDARD_TYPE" in joined.upper()
         assert "ASSAY_TYPE" in joined.upper()
+
+
+def test_jsonl_roundtrip_and_pruning(spark, tmp_path):
+    """JSONL source/sink: documents round-trip value-exact, the enforced
+    schema avoids inference, and projection reaches the json scan
+    (ReadSchema pruned to the selected columns)."""
+    from amr_kg_spark.sources.files import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs.select("doc_id", "lang", "text"), path)
+    back = read_jsonl(spark, path, "doc_id long, lang string, text string")
+    got = {(r.doc_id, r.lang, r.text) for r in back.collect()}
+    exp = {
+        (r.doc_id, r.lang, r.text)
+        for r in docs.select("doc_id", "lang", "text").collect()
+    }
+    assert got == exp and len(got) > 0
+    pruned = back.select("doc_id")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "text" not in rs[0], rs
