@@ -6,7 +6,7 @@ raw documents in, packed training sequences out, audit trail on the side:
         --output <packed parquet> [--rejects <dir>] \
         [--benchmark <eval parquet> [--decontam-n 13]] \
         [--min-quality 0.2] [--lang en] [--dedup-threshold 0.8] \
-        [--semantic-dedup 0.95] \
+        [--lm-drop-bottom 0.05] [--semantic-dedup 0.95] \
         [--sample lang=en:0.5,lang=de:0.25 | --mix lang=en:2e9,...] \
         [--budget 2048] [--shuffle-seed 42] \
         [--tokenizer bpe --bpe-merges 256 --bpe-sample 2000]
@@ -17,6 +17,7 @@ Stage order (each a library operator, composed, nothing bespoke):
   2. scrub_pii              — one projection (+audit counts)
   3. corpus_filter          — single-pass quality/lang/repetition gates
   3.5 dedup_lines           — optional corpus-wide boilerplate-line dedup
+  3.7 unigram-LM cut        — optional cheap-LM quality tail drop
   4. dedup_keep_representatives — near-dup clusters -> keep min id
   4.5 semantic dedup        — optional embedding-cosine near-dup removal
       (featurize_text: deterministic text->vector, no external vectors)
@@ -63,6 +64,12 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--lang", default=None, help="comma list; default: any")
     ap.add_argument("--dedup-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--lm-drop-bottom", type=float, default=None, metavar="FRAC",
+        help="fit a unigram LM on the surviving corpus and drop the "
+        "bottom FRAC of documents by mean token logprob (CCNet-style "
+        "cheap-LM quality cut; threshold via approxQuantile)",
+    )
     ap.add_argument(
         "--semantic-dedup", type=float, default=None, metavar="COSINE",
         help="ALSO drop embedding-cosine near-dups at this threshold, "
@@ -199,6 +206,25 @@ def main() -> None:
         )
         kept = deduped.drop("text", "n_lines_dropped").withColumnRenamed(
             "text_deduped", "text"
+        )
+
+    # 3.7: cheap-LM quality cut (optional) — fit a unigram LM on the
+    # surviving corpus, drop the least corpus-typical tail by mean token
+    # logprob (CCNet-style; LM table broadcasts, one scoring join)
+    if args.lm_drop_bottom is not None:
+        from amr_kg_spark.operators.text import (
+            fit_unigram_lm,
+            unigram_logprob,
+        )
+
+        lm = fit_unigram_lm(kept)
+        scores = unigram_logprob(kept, lm).select("doc_id", "lm_score")
+        thresh = scores.approxQuantile(
+            "lm_score", [args.lm_drop_bottom], 0.001
+        )[0]
+        keep_ids = scores.filter(F.col("lm_score") >= thresh).select("doc_id")
+        kept = checkpointed(
+            kept.join(keep_ids, "doc_id", "left_semi"), "after_lm_filter"
         )
 
     # 4: near-dup removal (clusters -> min-id representative)

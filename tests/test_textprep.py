@@ -467,7 +467,7 @@ def test_prep_corpus_job_end_to_end(tmp_path):
             "--min-quality", "0.4", "--lang", "en",
             "--sample", "en:0.9", "--budget", "512", "--shuffle-seed", "13",
             "--tokenizer", "bpe", "--bpe-merges", "64",
-            "--semantic-dedup", "0.95",
+            "--semantic-dedup", "0.95", "--lm-drop-bottom", "0.05",
         ],
         capture_output=True, text=True, env=env, timeout=600,
     )
@@ -475,7 +475,7 @@ def test_prep_corpus_job_end_to_end(tmp_path):
     stats = json.loads(
         [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     )
-    chain = ["rows_in", "after_filter", "after_dedup",
+    chain = ["rows_in", "after_filter", "after_lm_filter", "after_dedup",
              "after_semantic_dedup", "after_decontam",
              "after_sample", "rows_out"]
     vals = [stats[k] for k in chain]
