@@ -421,3 +421,109 @@ def chunk_documents(
             ),
         )
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    text_col: str = "text",
+    num_bins: int = 1024,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """The final assembly step of packing: where :func:`pack_sequences`
+    assigns COORDINATES (pack_bin / seq_id / seq_offset), this emits the
+    actual fixed-length training sequences — each document's SPACE-split
+    tokens are sliced at sequence boundaries (documents longer than their
+    remaining budget continue into following sequences, the standard
+    concat-then-chunk semantics) and every sequence concatenates its
+    pieces in stream order.
+
+    Output: one row per sequence — ``pack_bin``, ``seq_id``,
+    ``seq_tokens`` (array<string>, exactly ``budget`` long except each
+    bin's tail) and ``n_tokens``. Run after :func:`normalize_text` (same
+    space-token contract as :func:`chunk_documents`); ``token_col`` must
+    equal ``size(split(text, ' '))`` for boundaries to line up — pass
+    the count from :func:`with_token_counts`-style whitespace counting
+    over the SAME split, or simply let this function derive it (set
+    ``token_col=None``).
+
+    Scale shape: piece splitting is a projection + ``posexplode`` (a doc
+    yields ``ceil((offset + n) / budget)`` pieces, almost always 1); the
+    only exchanges are pack_sequences' window and the groupBy(seq_id)
+    assembly, whose groups are bounded at ``budget`` tokens by
+    construction — no skew possible. Deterministic end-to-end (inherits
+    the packing's purity contract)."""
+    if token_col is None:
+        docs = docs.withColumn("__nt", F.size(F.split(F.col(text_col), " ")))
+        token_col = "__nt"
+    packed = pack_sequences(
+        docs,
+        budget=budget,
+        id_col=id_col,
+        token_col=token_col,
+        num_bins=num_bins,
+        shuffle_seed=shuffle_seed,
+    )
+    n = F.col(token_col).cast("long")
+    off = F.col("seq_offset")
+    # relative sequence index k covers doc tokens [k*B - off, (k+1)*B - off)
+    k_max = F.floor((off + n - F.lit(1)) / F.lit(budget))
+    pieces = F.transform(
+        F.sequence(F.lit(0), F.greatest(k_max, F.lit(0))),
+        lambda k: F.struct(
+            (F.col("seq_id") + k).alias("seq"),
+            # 1-based slice start within the doc's token array
+            (
+                F.when(k == 0, F.lit(1)).otherwise(
+                    k * F.lit(budget) - off + F.lit(1)
+                )
+            ).alias("start"),
+            # offset of this piece inside its sequence (k>0 pieces start
+            # at the sequence head)
+            F.when(k == 0, off).otherwise(F.lit(0)).alias("seq_off"),
+            F.least(
+                (k + 1) * F.lit(budget) - off,
+                n,
+            ).alias("end_excl"),  # 0-based exclusive end within the doc
+        ),
+    )
+    toks = F.split(F.col(text_col), " ")
+    ex = F.posexplode(F.col("__pieces"))
+    exploded = (
+        packed.withColumn("__toks", toks)
+        .withColumn("__pieces", pieces)
+        .select(
+            "pack_bin",
+            F.col("__toks").alias("__t"),
+            ex.alias("__k", "__p"),
+        )
+        .select(
+            "pack_bin",
+            F.col("__p.seq").alias("seq_id"),
+            F.col("__p.seq_off").alias("__seq_off"),
+            F.slice(
+                F.col("__t"),
+                F.col("__p.start"),
+                (F.col("__p.end_excl") - F.col("__p.start") + F.lit(1)).cast(
+                    "int"
+                ),
+            ).alias("__piece"),
+        )
+        .filter(F.size("__piece") > 0)
+    )
+    return (
+        exploded.groupBy("pack_bin", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__seq_off", "__piece"))
+                    ),
+                    lambda s: s["__piece"],
+                )
+            ).alias("seq_tokens")
+        )
+        .withColumn("n_tokens", F.size("seq_tokens"))
+    )

@@ -88,6 +88,12 @@ def main() -> None:
     ap.add_argument("--num-bins", type=int, default=1024)
     ap.add_argument("--shuffle-seed", type=int, default=None)
     ap.add_argument(
+        "--materialize", action="store_true",
+        help="write the ASSEMBLED budget-token sequences (seq_tokens "
+        "arrays) instead of per-document packing coordinates "
+        "(whitespace tokenizer only — boundaries slice space tokens)",
+    )
+    ap.add_argument(
         "--stage-dir", default=None,
         help="persist every audited stage through the lineage StageRunner "
         "(atomic publish + commit marker + lineage rows): a re-run with "
@@ -289,13 +295,31 @@ def main() -> None:
             "after_mix",
         )
 
-    # 7: pack into training sequences
-    packed = pack_sequences(
-        toks,
-        budget=args.budget,
-        num_bins=args.num_bins,
-        shuffle_seed=args.shuffle_seed,
-    )
+    # 7: pack into training sequences — coordinates by default, or the
+    # assembled budget-token sequences themselves with --materialize
+    if args.materialize:
+        if args.tokenizer == "bpe":
+            raise SystemExit(
+                "--materialize slices SPACE tokens; its boundaries only "
+                "line up with whitespace token counts (--tokenizer "
+                "whitespace). Emit coordinates for BPE budgets."
+            )
+        from amr_kg_spark.operators.textprep import materialize_sequences
+
+        packed = materialize_sequences(
+            toks.drop("n_tokens"),
+            budget=args.budget,
+            token_col=None,
+            num_bins=args.num_bins,
+            shuffle_seed=args.shuffle_seed,
+        )
+    else:
+        packed = pack_sequences(
+            toks,
+            budget=args.budget,
+            num_bins=args.num_bins,
+            shuffle_seed=args.shuffle_seed,
+        )
     packed.write.mode("overwrite").parquet(args.output)
 
     out = spark.read.parquet(args.output)

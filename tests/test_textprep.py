@@ -790,3 +790,48 @@ def test_mix_to_token_budget_sharded(spark):
     # shards=1 remains the original single-stream selection
     again = {r.doc_id for r in mix_to_token_budget(docs, budgets).collect()}
     assert again == base
+
+
+def test_materialize_sequences_reconstructs_streams(spark):
+    """The assembly step: per bin, concatenating the emitted sequences in
+    seq_id order must reproduce the concatenation of the documents'
+    tokens in packing order EXACTLY (python oracle), every non-tail
+    sequence is exactly budget tokens, and doc-spanning splits land on
+    the right boundaries."""
+    from amr_kg_spark.operators.dedup import tokens_col  # noqa: F401
+    from amr_kg_spark.operators.textprep import (
+        materialize_sequences,
+        normalize_text,
+        pack_sequences,
+    )
+
+    B, BINS = 64, 4
+    docs = normalize_text(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ).select("doc_id", F.col("text_norm").alias("text")).withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    out = materialize_sequences(docs, budget=B, num_bins=BINS)
+    rows = out.collect()
+    assert rows
+
+    # python oracle: rebuild each bin's stream from the packing order
+    packed = pack_sequences(docs, budget=B, num_bins=BINS).collect()
+    streams: dict = {}
+    for r in sorted(packed, key=lambda r: (r.pack_bin, r.doc_id)):
+        streams.setdefault(r.pack_bin, []).extend(r.text.split(" "))
+    got_streams: dict = {}
+    per_bin_seqs: dict = {}
+    for r in sorted(rows, key=lambda r: (r.pack_bin, r.seq_id)):
+        got_streams.setdefault(r.pack_bin, []).extend(r.seq_tokens)
+        per_bin_seqs.setdefault(r.pack_bin, []).append(r)
+    assert set(got_streams) == set(streams)
+    for b in streams:
+        assert got_streams[b] == streams[b], f"bin {b} stream mismatch"
+        # every sequence but the bin tail is exactly budget tokens
+        for r in per_bin_seqs[b][:-1]:
+            assert r.n_tokens == B, (b, r.seq_id, r.n_tokens)
+        assert 0 < per_bin_seqs[b][-1].n_tokens <= B
+    # at least one document must actually span a boundary for the test to
+    # mean anything at this budget
+    assert any(r.seq_offset + r.n_tokens > B for r in packed)
