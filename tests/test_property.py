@@ -145,3 +145,64 @@ def test_xxh64_duckdb_replica_matches_reference(vals):
     for v in vals:
         assert got1[v] == _signed(_xxh64_long(v, 42))
         assert got2[v] == _signed(_xxh64_int(42, _xxh64_long(v, 42)))
+
+
+# fixed training corpus for the BPE properties — pure Python, no Spark
+_BPE_TRAIN = [
+    "the quick brown fox jumps over the lazy dog",
+    "the engine packs the corpus into sequences",
+    "tokenizers merge frequent pairs of characters repeatedly",
+    "spark executes the plan the optimizer picks",
+] * 4
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+def test_bpe_encode_properties(text):
+    """For ARBITRARY unicode input: the greedy lowest-rank encoder (a)
+    agrees with sequentially applying the merge list in rank order — two
+    different algorithms, one answer; (b) is lossless (tokens minus
+    end-of-word marks concatenate back to the input); (c) never merges
+    across pre-token chunk boundaries (every token maps inside one
+    chunk)."""
+    from amr_kg_spark.operators.tokenize import (
+        END_OF_WORD,
+        _chunk_symbols,
+        _pretokenize,
+        bpe_encode,
+        merge_ranks,
+        train_bpe,
+    )
+
+    merges = train_bpe(_BPE_TRAIN, num_merges=64)
+    ranks = merge_ranks(merges)
+    got = bpe_encode(text, ranks)
+
+    # (a) sequential-merge oracle
+    exp = []
+    for chunk in _pretokenize(text):
+        syms = list(_chunk_symbols(chunk))
+        for a, b in merges:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        exp.extend(syms)
+    assert got == exp
+
+    # (b) lossless modulo end-of-word marks (skip inputs that contain the
+    # literal marker — it would be ambiguous by construction)
+    if END_OF_WORD not in text:
+        assert "".join(got).replace(END_OF_WORD, "") == "".join(
+            _pretokenize(text)
+        ) == text if _pretokenize(text) else True
+
+    # (c) one end-of-word mark per chunk, at most one per token
+    assert sum(t.count(END_OF_WORD) for t in got) == len(
+        [c for c in _pretokenize(text) if c]
+    )
