@@ -527,3 +527,25 @@ def materialize_sequences(
         )
         .withColumn("n_tokens", F.size("seq_tokens"))
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    val_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    seed: int = 777,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic train/validation split: a document is validation iff
+    the low 30 bits of ``xxhash64(id, seed)`` fall under
+    ``val_fraction * 2^30`` — the same pure-function predicate
+    :func:`stratified_sample` uses, so the split is exactly reproducible
+    across retries, resumes and cluster widths, the two sides are
+    disjoint and exhaustive BY CONSTRUCTION (one predicate, negated), and
+    growing ``val_fraction`` only moves documents train->val (nesting).
+    Both sides are scan-side filters: zero shuffle, pushdown-eligible.
+    Use a DIFFERENT seed from any sampling upstream, or the validation
+    set would correlate with the sample."""
+    m = 1 << 30
+    cut = F.lit(int(val_fraction * m)).cast("long")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+    return docs.filter(bucket >= cut), docs.filter(bucket < cut)

@@ -835,3 +835,22 @@ def test_materialize_sequences_reconstructs_streams(spark):
     # at least one document must actually span a boundary for the test to
     # mean anything at this budget
     assert any(r.seq_offset + r.n_tokens > B for r in packed)
+
+
+def test_split_corpus_disjoint_exhaustive_nested(spark):
+    from amr_kg_spark.operators.textprep import split_corpus
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    train, val = split_corpus(docs, val_fraction=0.1)
+    t = {r.doc_id for r in train.collect()}
+    v = {r.doc_id for r in val.collect()}
+    allids = {r.doc_id for r in docs.collect()}
+    assert t | v == allids and not (t & v)
+    assert 0 < len(v) < len(allids)
+    assert abs(len(v) / len(allids) - 0.1) < 0.05
+    # determinism + nesting: a bigger fraction only grows the val side
+    _, v2 = split_corpus(docs, val_fraction=0.2)
+    v2ids = {r.doc_id for r in v2.collect()}
+    assert v <= v2ids
+    _, v_again = split_corpus(docs, val_fraction=0.1)
+    assert {r.doc_id for r in v_again.collect()} == v
