@@ -8,8 +8,9 @@ raw documents in, packed training sequences out, audit trail on the side:
         [--min-quality 0.2] [--lang en] [--dedup-threshold 0.8] \
         [--lm-drop-bottom 0.05] [--semantic-dedup 0.95] \
         [--sample lang=en:0.5,lang=de:0.25 | --mix lang=en:2e9,...] \
-        [--budget 2048] [--shuffle-seed 42] \
-        [--tokenizer bpe --bpe-merges 256 --bpe-sample 2000]
+        [--budget 2048] [--shuffle-seed 42] [--materialize] \
+        [--tokenizer bpe --bpe-merges 256 --bpe-sample 2000] \
+        [--stage-dir <dir>]   # StageRunner checkpoint/resume + lineage
 
 Stage order (each a library operator, composed, nothing bespoke):
 
