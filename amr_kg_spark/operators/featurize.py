@@ -32,6 +32,11 @@ each; two docs are candidates iff they share ANY band's full signature
 (recall = 1-(1-p^r)^b with p = 1 - theta/pi per bit), and candidates are
 exact-reranked on true cosine. Never all-pairs; the band join moves
 (id, band, signature) longs only.
+
+No reference analogue (the reference pipeline has no embedding layer;
+beyond-reference surface like the rest of the datapipe family) — the
+constructions are the public SimHash/Charikar random-projection and
+Broder/LSH banding ideas, re-derived for Catalyst.
 """
 
 from __future__ import annotations

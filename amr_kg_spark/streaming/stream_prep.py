@@ -21,6 +21,10 @@ case), the streamed assignment is IDENTICAL to batch
 arrival order within each micro-batch (sorted by id inside the batch) —
 the honest streaming semantics; a training job that needs the batch
 order re-packs at epoch time.
+
+No reference analogue (the reference is batch-only pandas/py2neo;
+beyond-reference surface, like streaming/stream_kg.py's incremental KG
+path).
 """
 
 from __future__ import annotations
