@@ -854,3 +854,19 @@ def test_split_corpus_disjoint_exhaustive_nested(spark):
     assert v <= v2ids
     _, v_again = split_corpus(docs, val_fraction=0.1)
     assert {r.doc_id for r in v_again.collect()} == v
+
+
+def test_dp_textprep_driver_row_plan_gates(spark):
+    """The merged 10-variant driver row stays scale-shaped as a WHOLE:
+    no cartesian products, no per-row Python, the decontam side's
+    benchmark shingles broadcast."""
+    from amr_kg_spark.queries.datapipe import q_textprep
+
+    df = q_textprep(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan, "no per-row Python anywhere"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
