@@ -870,3 +870,47 @@ def test_dp_textprep_driver_row_plan_gates(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan, "no per-row Python anywhere"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_materialize_sequences_shuffled_epoch_order(spark):
+    """With shuffle_seed the assembled sequences follow the shuffled
+    stream: per bin, concatenating sequences in seq_id order equals
+    concatenating the documents in xxhash64(id, seed) order — and two
+    runs with the same seed are identical."""
+    from amr_kg_spark.operators.textprep import (
+        materialize_sequences,
+        normalize_text,
+        pack_sequences,
+    )
+
+    B, BINS, SEED = 64, 4, 9
+    docs = normalize_text(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ).select("doc_id", F.col("text_norm").alias("text")).withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    out = materialize_sequences(
+        docs, budget=B, num_bins=BINS, shuffle_seed=SEED
+    )
+    rows = out.collect()
+    packed = pack_sequences(
+        docs, budget=B, num_bins=BINS, shuffle_seed=SEED
+    ).collect()
+    streams: dict = {}
+    for r in sorted(
+        packed, key=lambda r: (r.pack_bin, r.seq_id, r.seq_offset, r.doc_id)
+    ):
+        streams.setdefault(r.pack_bin, []).extend(r.text.split(" "))
+    got: dict = {}
+    for r in sorted(rows, key=lambda r: (r.pack_bin, r.seq_id)):
+        got.setdefault(r.pack_bin, []).extend(r.seq_tokens)
+    assert got == streams
+    again = {
+        (r.pack_bin, r.seq_id, tuple(r.seq_tokens))
+        for r in materialize_sequences(
+            docs, budget=B, num_bins=BINS, shuffle_seed=SEED
+        ).collect()
+    }
+    assert again == {
+        (r.pack_bin, r.seq_id, tuple(r.seq_tokens)) for r in rows
+    }
