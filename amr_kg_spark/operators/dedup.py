@@ -509,9 +509,9 @@ def dedup_keep_representatives(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.8,
-    method: str = "minhash",
+    n: int | None = None,
+    threshold: float | None = None,
+    method: str | None = None,
     pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: the operator a training-data pipeline
@@ -537,13 +537,35 @@ def dedup_keep_representatives(
 
     if pairs is not None:
         # precomputed pair source (e.g. featurize.semantic_neardup_pairs):
-        # any (id_a, id_b) frame plugs into the same CC + keep-min tail
-        pass
-    elif method == "exact":
-        pairs = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+        # any (id_a, id_b) frame plugs into the same CC + keep-min tail.
+        # The pair-building knobs are MEANINGLESS here — passing them
+        # alongside `pairs` is a caller bug (the parameters would be
+        # silently dropped), so it raises; a wrong-schema frame raises
+        # HERE instead of as an opaque CC error (round-6 ADVICE #5).
+        if method is not None or threshold is not None or n is not None:
+            raise ValueError(
+                "dedup_keep_representatives: method/n/threshold are "
+                "pair-building parameters and are ignored when a "
+                "precomputed `pairs` frame is passed — drop them, or drop "
+                "`pairs` to have the pairs built here"
+            )
+        missing = {"id_a", "id_b"} - set(pairs.columns)
+        if missing:
+            raise ValueError(
+                "dedup_keep_representatives: `pairs` must carry id_a/id_b "
+                f"columns (missing: {sorted(missing)}; got {pairs.columns})"
+            )
+    elif (method or "minhash") == "exact":
+        pairs = ngram_jaccard_pairs(
+            docs, id_col, text_col, n or 3, 0.8 if threshold is None else threshold
+        )
     else:
         pairs = minhash_pairs_native(
-            docs, id_col, text_col, n, threshold=threshold
+            docs,
+            id_col,
+            text_col,
+            n or 3,
+            threshold=0.8 if threshold is None else threshold,
         )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

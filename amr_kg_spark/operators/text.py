@@ -268,6 +268,13 @@ def fit_unigram_lm(
     toks = docs.select(F.explode(tokens_col(text_col)).alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n")).collect()[0][0]
+    if total is None:
+        # sum over zero rows is NULL — an empty / token-free corpus has no
+        # distribution to fit; fail loudly instead of emitting NULL logp
+        # rows that poison every downstream score (round-6 ADVICE #3)
+        raise ValueError(
+            "fit_unigram_lm: empty corpus (no tokens) — nothing to fit"
+        )
     return (
         counts.filter(F.col("n") >= min_count)
         .orderBy(F.col("n").desc(), F.col("token"))
@@ -292,8 +299,22 @@ def unigram_logprob(
 
     Scale shape: the LM table is tiny (<= vocab_size rows) and BROADCAST;
     the explode happens inside the scan stage, so the only exchange is
-    the per-document re-aggregation. Empty documents score NULL."""
+    the per-document re-aggregation. Empty documents score NULL.
+
+    An EMPTY LM table (no vocabulary) defines no floor, so scoring
+    short-circuits to the all-NULL frame — every document gets NULL
+    ``lm_score``/``oov_rate`` and its token count — rather than crashing
+    on ``lit(float(None))`` (round-6 ADVICE #3)."""
     floor = lm.agg(F.min("logp")).collect()[0][0]
+    if floor is None:
+        return docs.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("lm_score"),
+            F.lit(None).cast("double").alias("oov_rate"),
+            F.size(tokens_col(text_col)).cast("long").alias(
+                "n_tokens_scored"
+            ),
+        )
     per_tok = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
     )

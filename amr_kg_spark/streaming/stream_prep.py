@@ -60,25 +60,25 @@ def stream_pack_sequences(
     def update(key, pdfs, state: GroupState):
         (pack_bin,) = key
         cum = state.get[0] if state.exists else 0
-        rows = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(id_col).iterrows():
-                nt = int(r[token_col])
-                rows.append(
-                    (
-                        int(r[id_col]),
-                        int(pack_bin),
-                        nt,
-                        int(pack_bin) * SEQ_BIN_SHIFT + cum // budget,
-                        cum % budget,
-                    )
-                )
-                cum += nt
-        state.update((cum,))
-        yield pd.DataFrame(
-            rows,
-            columns=[id_col, "pack_bin", token_col, "seq_id", "seq_offset"],
+        # column-wise over the whole micro-batch (sorted by id across ALL
+        # Arrow chunks, per the docstring contract) — the only sequential
+        # dependence is the running total, which is a cumsum: doc k starts
+        # at cum + sum(nt[:k]). No per-row Python (engine rule).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        nt = pdf[token_col].astype("int64")
+        start = int(cum) + nt.cumsum() - nt
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                "pack_bin": int(pack_bin),
+                token_col: nt,
+                "seq_id": int(pack_bin) * SEQ_BIN_SHIFT + start // budget,
+                "seq_offset": start % budget,
+            }
         )
+        state.update((int(cum) + int(nt.sum()),))
+        yield out
 
     return binned.groupBy("pack_bin").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -906,3 +906,57 @@ def test_compression_ratio_matches_python_and_plan(spark):
     )
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_unigram_lm_empty_guards(spark):
+    """Round-6 ADVICE #3: an empty / token-free corpus must fail the LM
+    fit loudly (sum over zero rows is NULL), and scoring under an EMPTY
+    LM table must short-circuit to the all-NULL frame instead of crashing
+    on lit(float(None))."""
+    import pytest as _pytest
+
+    from amr_kg_spark.operators.text import fit_unigram_lm, unigram_logprob
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        fit_unigram_lm(empty)
+    # token-free (punctuation-only) corpus: rows exist, tokens don't
+    tokenless = spark.createDataFrame(
+        [(1, "!!! ... ???")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="empty corpus"):
+        fit_unigram_lm(tokenless)
+
+    empty_lm = spark.createDataFrame([], "token string, logp double")
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, "")], "doc_id long, text string"
+    )
+    scored = unigram_logprob(docs, empty_lm).orderBy("doc_id").collect()
+    assert [r.doc_id for r in scored] == [1, 2]
+    assert all(r.lm_score is None and r.oov_rate is None for r in scored)
+    assert [r.n_tokens_scored for r in scored] == [3, 0]
+
+
+def test_dedup_keep_representatives_pairs_validation(spark):
+    """Round-6 ADVICE #5: passing pair-building knobs alongside a
+    precomputed `pairs` frame raises (they would be silently dropped),
+    and a pairs frame without id_a/id_b raises here, not as an opaque
+    CC error downstream."""
+    import pytest as _pytest
+
+    from amr_kg_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (2, "aaa bbb ccc"), (3, "zzz yyy xxx")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="ignored when a"):
+        D.dedup_keep_representatives(docs, pairs=pairs, method="exact")
+    with _pytest.raises(ValueError, match="ignored when a"):
+        D.dedup_keep_representatives(docs, pairs=pairs, threshold=0.9)
+    bad = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="id_a/id_b"):
+        D.dedup_keep_representatives(docs, pairs=bad)
+    kept = {r.doc_id for r in D.dedup_keep_representatives(docs, pairs=pairs).collect()}
+    assert kept == {1, 3}
