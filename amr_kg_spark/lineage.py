@@ -32,11 +32,54 @@ from pyspark.sql import functions as F
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, workdir: str, run_id: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        run_id: str | None = None,
+        params: dict | None = None,
+    ):
         self.spark = spark
         self.workdir = workdir
         self.run_id = run_id or uuid.uuid4().hex[:12]
         os.makedirs(os.path.join(workdir, "stages"), exist_ok=True)
+        if params is not None:
+            self._check_params(params)
+
+    def _check_params(self, params: dict) -> None:
+        """Bind the workdir to the parameters its committed stages were
+        computed under. Stage keys are NAMES (``is_committed`` checks only
+        ``stages/<name>/_SUCCESS``), so resuming with the same dir but
+        different parameters would silently read back stale outputs while
+        all downstream counts look fresh. First run writes
+        ``<workdir>/params.json``; later runs must match it exactly or the
+        runner REFUSES to resume (delete the dir or pick a new one to
+        proceed — never silent reuse)."""
+        import json
+
+        marker = os.path.join(self.workdir, "params.json")
+        canon = json.dumps(params, sort_keys=True, default=str)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prev = fh.read()
+            if prev != canon:
+                old = json.loads(prev)
+                new = json.loads(canon)
+                diff = {
+                    k: (old.get(k), new.get(k))
+                    for k in sorted(set(old) | set(new))
+                    if old.get(k) != new.get(k)
+                }
+                raise ValueError(
+                    f"stage dir {self.workdir!r} was committed under "
+                    f"different parameters; refusing to resume (changed: "
+                    f"{diff}). Use a fresh --stage-dir or delete this one."
+                )
+        else:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(canon)
+            os.rename(tmp, marker)
 
     # -- paths ---------------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:

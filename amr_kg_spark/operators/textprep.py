@@ -33,12 +33,20 @@ WHITESPACE_CLASS = (
     "[\\s\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]+"
 )
 
+# HORIZONTAL-only variant for preserve_newlines=True: the same unicode
+# space set minus every line break (\n and \r are handled separately;
+# \x0B/\x0C are stripped as control chars; U+2028/U+2029 are mapped to
+# \n first). Same literal-character convention as WHITESPACE_CLASS, so
+# DuckDB's RE2 replays it identically.
+HSPACE_CLASS = "[ \\t\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000]+"
+
 
 def normalize_text(
     docs: DataFrame,
     text_col: str = "text",
     out_col: str = "text_norm",
     nfc: bool = False,
+    preserve_newlines: bool = False,
 ) -> DataFrame:
     """Standard pre-tokenization cleanup, one projection:
 
@@ -47,6 +55,17 @@ def normalize_text(
       :data:`WHITESPACE_CLASS` (NBSP, en/em/thin spaces, line/paragraph
       separators, ideographic space) — collapsed to one ASCII space;
     - leading/trailing whitespace trimmed.
+
+    With ``preserve_newlines=True`` line structure SURVIVES normalization
+    (for pipelines whose next stage is :func:`~amr_kg_spark.operators.
+    dedup.dedup_lines` — collapsing ``\\n`` into the space run would
+    silently degenerate line dedup into whole-document dedup): ``\\r\\n``
+    / ``\\r`` / U+2028 / U+2029 are canonicalized to ``\\n``, only
+    HORIZONTAL whitespace runs (:data:`HSPACE_CLASS`) collapse to one
+    space, each line is trimmed, and leading/trailing blank space is
+    removed. Blank LINES survive (they are legitimate paragraph breaks;
+    ``dedup_lines`` exempts them via ``min_chars``). Still one
+    projection.
 
     With ``nfc=True`` the text is first NFC-composed via a batched Arrow
     ``pandas_udf`` (``unicodedata.normalize`` — there is no JVM-side NFC
@@ -69,6 +88,11 @@ def normalize_text(
 
         src = _nfc(src)
     cleaned = F.regexp_replace(src, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if preserve_newlines:
+        nl = F.regexp_replace(cleaned, "\r\n|[\r  ]", "\n")
+        collapsed = F.regexp_replace(nl, HSPACE_CLASS, " ")
+        tidy = F.regexp_replace(collapsed, " ?\n ?", "\n")
+        return docs.withColumn(out_col, F.btrim(tidy, F.lit(" \n")))
     collapsed = F.regexp_replace(cleaned, WHITESPACE_CLASS, " ")
     return docs.withColumn(out_col, F.trim(collapsed))
 

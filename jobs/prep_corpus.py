@@ -139,7 +139,18 @@ def main() -> None:
     if args.stage_dir:
         from amr_kg_spark.lineage import StageRunner
 
-        runner = StageRunner(spark, args.stage_dir)
+        # Stage keys are NAMES; the fingerprint ties the whole stage dir to
+        # the exact parameters that produced its committed outputs. A
+        # re-run with the same dir but a different --input/--min-quality/
+        # --dedup-threshold/... would otherwise silently read back stale
+        # stage parquet computed under the OLD parameters (round-6 ADVICE
+        # #2). Sinks (--output/--rejects) don't feed any stage computation
+        # and may move between runs.
+        params = {
+            k: v for k, v in sorted(vars(args).items())
+            if k not in ("output", "rejects", "stage_dir")
+        }
+        runner = StageRunner(spark, args.stage_dir, params=params)
 
     def checkpointed(df, key):
         """Per-stage audit count WITHOUT recomputing the upstream chain:
@@ -162,9 +173,16 @@ def main() -> None:
         cached.append(df)
         return df
 
-    # 1+2: normalize + scrub compose into the same projection
+    # 1+2: normalize + scrub compose into the same projection. With
+    # --dedup-lines, normalization must PRESERVE line structure: the
+    # default collapses "\n" into the whitespace run, so stage 3.5's
+    # split-on-"\n" would see one segment per document and line dedup
+    # would silently degenerate into whole-document exact dedup
+    # (round-6 ADVICE #1). preserve_newlines collapses only horizontal
+    # whitespace and canonicalizes \r\n|\r|U+2028|U+2029 to \n.
     cleaned = scrub_pii(
-        normalize_text(docs), text_col="text_norm", out_col="text_clean"
+        normalize_text(docs, preserve_newlines=args.dedup_lines is not None),
+        text_col="text_norm", out_col="text_clean",
     )
     # downstream operators read the cleaned text
     cleaned = cleaned.drop("text").withColumnRenamed("text_clean", "text")

@@ -80,6 +80,57 @@ def test_normalize_text_unicode_whitespace(spark):
         assert got[i] == exp, (i, got[i], exp)
 
 
+def test_normalize_text_preserve_newlines(spark):
+    """preserve_newlines=True keeps line structure through normalization
+    (round-6 ADVICE #1: the default collapses \\n into the space run, so a
+    downstream dedup_lines sees ONE segment per document): \\r\\n / \\r /
+    U+2028 / U+2029 canonicalize to \\n, only HORIZONTAL whitespace
+    collapses, lines are individually trimmed, blank interior lines
+    survive. The DuckDB RE2 replay of the identical regex chain agrees."""
+    import duckdb
+
+    from amr_kg_spark.operators.textprep import HSPACE_CLASS
+
+    texts = [
+        # CRLF + CR + unicode line separators all become \n
+        (1, "head\r\nbody\rtail end last"),
+        # horizontal runs collapse, lines trim, interior blank line kept
+        (2, "  a  b  \n\n\tc　d  "),
+        # leading/trailing blank lines stripped, spaces around \n eaten
+        (3, "\n  first \n second  third \n\n"),
+        # control chars still stripped; tabs are horizontal
+        (4, "x\x01y\tz\nw"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_norm
+        for r in normalize_text(docs, preserve_newlines=True).collect()
+    }
+    assert got == {
+        1: "head\nbody\ntail\nend\nlast",
+        2: "a b\n\nc d",
+        3: "first\nsecond third",
+        4: "xy z\nw",
+    }
+    con = duckdb.connect()
+    for i, t in texts:
+        (exp,) = con.execute(
+            r"""
+            SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(?,
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '\r\n|[\r'|| chr(8232) || chr(8233) ||']', chr(10), 'g'),
+            """
+            + f"'{HSPACE_CLASS}', ' ', 'g'),"
+            + "' ?\n ?', chr(10), 'g'), ' ' || chr(10))",
+            [t],
+        ).fetchone()
+        assert got[i] == exp, (i, got[i], exp)
+    # default path is unchanged: same inputs, newlines collapse to spaces
+    flat = {r.doc_id: r.text_norm for r in normalize_text(docs).collect()}
+    assert flat[2] == "a b c d" and "\n" not in "".join(flat.values())
+
+
 def test_scrub_pii_replaces_and_counts(spark):
     docs = spark.createDataFrame(
         [
@@ -672,6 +723,10 @@ def test_prep_corpus_job_stage_resume(tmp_path):
             [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         )
 
+    # a second run with the SAME dir but a CHANGED stage-feeding parameter
+    # must refuse to resume (round-6 ADVICE #2: stage keys are names only,
+    # so silent reuse would serve stale outputs) — checked after the first
+    # run below
     s1 = run(str(tmp_path / "out1"))
     lineage_files = lambda: sorted(
         f for f in os.listdir(os.path.join(stage_dir, "lineage"))
@@ -686,6 +741,83 @@ def test_prep_corpus_job_stage_resume(tmp_path):
     s2 = run(str(tmp_path / "out2"))
     assert lineage_files() == committed, "resume must not recompute stages"
     assert s1 == s2, (s1, s2)
+    bad = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", f"{SF_SMALL}/documents.parquet",
+            "--output", str(tmp_path / "out3"), "--stage-dir", stage_dir,
+            "--min-quality", "0.7", "--budget", "512",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert bad.returncode != 0, "changed params must refuse to resume"
+    assert "refusing to resume" in bad.stderr, bad.stderr[-2000:]
+    assert "min_quality" in bad.stderr, "diff should name the changed param"
+
+
+def test_prep_corpus_job_dedup_lines(tmp_path):
+    """--dedup-lines end-to-end (round-6 ADVICE #1): normalization runs
+    with preserve_newlines, so the boilerplate line repeated across the
+    fixture's documents is actually visible to stage 3.5 as a LINE — the
+    job must report lines_dropped > 0 and the surviving texts must not
+    repeat the banner. (Before the fix, stage-1 normalization collapsed
+    \\n to spaces and line dedup silently degenerated into whole-document
+    dedup: lines_dropped was always 0 on distinct documents.)"""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    banner = "subscribe to our weekly newsletter for updates and offers"
+    bodies = [
+        f"document number {i} talks about topic {i * 7 % 13} in detail "
+        f"with several words of unique content for variety and length "
+        f"covering item {i * 3} and item {i * 5} across many lines"
+        for i in range(30)
+    ]
+    fixture = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array(
+                    [f"{banner}\n{b}\nclosing line {i} of the page body here"
+                     for i, b in enumerate(bodies)],
+                    pa.string(),
+                ),
+            }
+        ),
+        fixture,
+    )
+    out = str(tmp_path / "packed")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", fixture, "--output", out,
+            "--dedup-lines", "10", "--min-quality", "0.0",
+            "--min-tokens", "1", "--budget", "128",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    # 30 docs carry the banner; the first occurrence survives, 29 drop.
+    # The closing lines are unique (never dropped); bodies unique too.
+    assert stats["lines_dropped"] == 29, stats
+    assert stats["after_line_dedup"] == stats["after_filter"], (
+        "line dedup drops LINES, not documents"
+    )
+    assert stats["rows_out"] > 0, stats
 
 
 def test_chunk_documents_matches_duckdb(spark):
