@@ -186,6 +186,68 @@ def sample_texts(
     return [r[1] for r in rows if r[1]]
 
 
+UNK = "<unk>"
+
+
+def build_vocab(
+    merges: list[tuple[str, str]],
+    texts: Iterable[str] | None = None,
+) -> dict[str, int]:
+    """Deterministic token->id table for the trained merge table: id 0 is
+    the reserved ``<unk>``; every symbol a merge consumes or produces —
+    plus, when ``texts`` (normally the training sample) is given, every
+    base chunk symbol observed in it — gets an id by sorted order. A
+    closed vocab needs an UNK: encode-time text can contain characters
+    the training sample never saw (the same convention as any trained
+    tokenizer). Persist alongside the merge table (it is a pure function
+    of (merges, sample), so retrains reproduce it bit-identically)."""
+    syms: set[str] = set()
+    for a, b in merges:
+        syms.update((a, b, a + b))
+    if texts is not None:
+        for t in texts:
+            if not t:
+                continue
+            for chunk in _pretokenize(t):
+                syms.update(_chunk_symbols(chunk))
+    return {UNK: 0, **{s: i for i, s in enumerate(sorted(syms), start=1)}}
+
+
+def bpe_encode_ids(
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+) -> list[int]:
+    """Encode one text to integer token ids: :func:`bpe_encode`, then the
+    vocab lookup (unknown symbols -> id 0 / ``<unk>``)."""
+    return [vocab.get(t, 0) for t in bpe_encode(text, ranks)]
+
+
+def bpe_token_ids(
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+) -> Column:
+    """Column expression encoding each text to its ``array<int>`` BPE
+    token-id sequence via ONE batched Arrow ``pandas_udf`` stage (same
+    shipping model as :func:`bpe_token_count`: merge table + vocab ride
+    the closure — ``num_merges`` pairs and ``|vocab|`` strings, both
+    tiny). NULL text encodes to NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = merge_ranks(merges)
+
+    @pandas_udf("array<int>")
+    def _encode(s):
+        return s.map(
+            lambda x: bpe_encode_ids(x, ranks, vocab)
+            if x is not None
+            else None
+        )
+
+    return _encode(F.col(text_col))
+
+
 def bpe_token_count(
     text_col: str, merges: list[tuple[str, str]]
 ) -> Column:

@@ -9,6 +9,7 @@ raw documents in, packed training sequences out, audit trail on the side:
         [--lm-drop-bottom 0.05] [--semantic-dedup 0.95] \
         [--sample lang=en:0.5,lang=de:0.25 | --mix lang=en:2e9,...] \
         [--budget 2048] [--shuffle-seed 42] [--materialize] \
+        [--val-fraction 0.01 [--val-decontam 13]] \
         [--tokenizer bpe --bpe-merges 256 --bpe-sample 2000] \
         [--stage-dir <dir>]   # StageRunner checkpoint/resume + lineage
 
@@ -25,7 +26,11 @@ Stage order (each a library operator, composed, nothing bespoke):
   5. decontaminate          — drop docs sharing n-grams with --benchmark
   6. stratified_sample / mix_to_token_budget — deterministic mix
       (--tokenizer bpe counts real subword tokens for the budgets)
-  7. pack_sequences         — budget-token streams (optionally shuffled)
+  6.5 split_corpus          — optional train/val split (+ val-side
+      decontamination of the training docs: the train/val-leakage guard)
+  7. pack_sequences         — budget-token streams (optionally shuffled);
+      --materialize assembles actual sequences (BPE token ids with
+      --tokenizer bpe: materialize_token_ids, encode-then-slice)
 
 Scale notes: stages 1-3 fuse into ONE scan-side projection (no exchange
 until dedup); dedup/decontam shuffle only hashes; sampling is a
@@ -91,8 +96,22 @@ def main() -> None:
     ap.add_argument(
         "--materialize", action="store_true",
         help="write the ASSEMBLED budget-token sequences (seq_tokens "
-        "arrays) instead of per-document packing coordinates "
-        "(whitespace tokenizer only — boundaries slice space tokens)",
+        "arrays) instead of per-document packing coordinates: word-token "
+        "strings with --tokenizer whitespace, REAL BPE token ids "
+        "(array<int>, encode-then-slice boundaries) with --tokenizer bpe",
+    )
+    ap.add_argument(
+        "--val-fraction", type=float, default=None, metavar="FRAC",
+        help="deterministic train/validation split before packing "
+        "(split_corpus id-hash predicate): output lands in "
+        "<output>/train and <output>/val",
+    )
+    ap.add_argument(
+        "--val-decontam", type=int, default=None, metavar="N",
+        help="with --val-fraction: ALSO drop training documents sharing "
+        "an N-gram with the validation side (guards against train/val "
+        "leakage through near-dups that survive the id-hash split — "
+        "near-identical docs land on both sides; val shingles broadcast)",
     )
     ap.add_argument(
         "--stage-dir", default=None,
@@ -292,17 +311,20 @@ def main() -> None:
     # token-count basis for mixing + packing: whitespace (Catalyst) or a
     # BPE merge table trained driver-side on a deterministic sample of the
     # SURVIVING corpus (kept is persisted, so the sample reads cache)
+    merges = vocab = None
     if args.tokenizer == "bpe":
         from amr_kg_spark.operators.tokenize import (
+            build_vocab,
             sample_texts,
             train_bpe,
             with_token_counts,
         )
 
-        merges = train_bpe(
-            sample_texts(kept, n=args.bpe_sample), num_merges=args.bpe_merges
-        )
+        sample = sample_texts(kept, n=args.bpe_sample)
+        merges = train_bpe(sample, num_merges=args.bpe_merges)
+        vocab = build_vocab(merges, sample)
         counts["bpe_merges_trained"] = len(merges)
+        counts["bpe_vocab_size"] = len(vocab)
         toks = with_token_counts(kept, counter="bpe", merges=merges)
     else:
         toks = kept.withColumn("n_tokens", F.size(tokens_col("text")))
@@ -314,37 +336,71 @@ def main() -> None:
             "after_mix",
         )
 
+    # 6.5: deterministic train/validation split (optional) — both sides
+    # are scan-side id-hash filters over the SAME surviving frame
+    # (disjoint + exhaustive by construction); with --val-decontam the
+    # training side additionally drops documents sharing an N-gram with
+    # the validation side (near-identical docs land on both sides of an
+    # id-hash split — the standard train/val-leakage guard)
+    if args.val_fraction is not None:
+        from amr_kg_spark.operators.textprep import split_corpus
+
+        train, val = split_corpus(toks, val_fraction=args.val_fraction)
+        train = checkpointed(train, "rows_train")
+        val = checkpointed(val, "rows_val")
+        if args.val_decontam is not None:
+            train = checkpointed(
+                decontaminate(train, val, n=args.val_decontam),
+                "after_val_decontam",
+            )
+        sides = {"train": train, "val": val}
+    else:
+        sides = {"": toks}
+
     # 7: pack into training sequences — coordinates by default, or the
     # assembled budget-token sequences themselves with --materialize
-    if args.materialize:
-        if args.tokenizer == "bpe":
-            raise SystemExit(
-                "--materialize slices SPACE tokens; its boundaries only "
-                "line up with whitespace token counts (--tokenizer "
-                "whitespace). Emit coordinates for BPE budgets."
+    # (word-token strings, or real BPE token ids when --tokenizer bpe)
+    def pack(side):
+        if args.materialize and args.tokenizer == "bpe":
+            from amr_kg_spark.operators.textprep import materialize_token_ids
+
+            return materialize_token_ids(
+                side.drop("n_tokens"),
+                budget=args.budget,
+                merges=merges,
+                vocab=vocab,
+                num_bins=args.num_bins,
+                shuffle_seed=args.shuffle_seed,
             )
-        from amr_kg_spark.operators.textprep import materialize_sequences
+        if args.materialize:
+            from amr_kg_spark.operators.textprep import materialize_sequences
 
-        packed = materialize_sequences(
-            toks.drop("n_tokens"),
+            return materialize_sequences(
+                side.drop("n_tokens"),
+                budget=args.budget,
+                token_col=None,
+                num_bins=args.num_bins,
+                shuffle_seed=args.shuffle_seed,
+            )
+        return pack_sequences(
+            side,
             budget=args.budget,
-            token_col=None,
             num_bins=args.num_bins,
             shuffle_seed=args.shuffle_seed,
         )
-    else:
-        packed = pack_sequences(
-            toks,
-            budget=args.budget,
-            num_bins=args.num_bins,
-            shuffle_seed=args.shuffle_seed,
-        )
-    packed.write.mode("overwrite").parquet(args.output)
 
-    out = spark.read.parquet(args.output)
-    counts["rows_out"] = out.count()
-    counts["n_sequences"] = out.select("seq_id").distinct().count()
-    counts["total_tokens"] = out.agg(F.sum("n_tokens")).collect()[0][0]
+    for name, side in sides.items():
+        dest = args.output + ("/" + name if name else "")
+        pack(side).write.mode("overwrite").parquet(dest)
+        out = spark.read.parquet(dest)
+        suffix = "_" + name if name else ""
+        counts["rows_out" + suffix] = out.count()
+        counts["n_sequences" + suffix] = (
+            out.select("seq_id").distinct().count()
+        )
+        counts["total_tokens" + suffix] = (
+            out.agg(F.sum("n_tokens")).collect()[0][0]
+        )
     print(json.dumps(counts))
     for df in cached:
         df.unpersist()

@@ -142,3 +142,98 @@ def test_with_token_counts_threads_into_budget_operators(spark):
             assert r.mix_tokens_before < budgets[r.lang]
     finally:
         toks.unpersist()
+
+
+def test_build_vocab_deterministic_and_unk(spark):
+    """The vocab is a pure function of (merges, sample): id 0 is <unk>,
+    ids are dense, and encode-time symbols outside it map to 0."""
+    from amr_kg_spark.operators.tokenize import (
+        UNK,
+        bpe_encode_ids,
+        build_vocab,
+    )
+
+    texts = _corpus_texts(spark, n=200)
+    merges = train_bpe(texts, num_merges=64)
+    vocab = build_vocab(merges, texts)
+    assert vocab[UNK] == 0
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert build_vocab(merges, texts) == vocab, "must be deterministic"
+    # every training-sample text encodes without <unk>
+    ranks = merge_ranks(merges)
+    for t in texts[:50]:
+        assert 0 not in bpe_encode_ids(t, ranks, vocab)
+    # a never-seen character (CJK, absent from this latin corpus) -> <unk>
+    ids = bpe_encode_ids("世界 hello", ranks, vocab)
+    assert ids[0] == 0
+
+
+def test_materialize_token_ids_matches_python_oracle(spark):
+    """Round-6 verdict item #2 — training-ready BPE token-id sequences.
+    Boundary convention = ENCODE-THEN-SLICE: each document is encoded in
+    full and its id stream is cut at sequence boundaries (a subword never
+    re-merges across a cut; slice-then-encode is never performed). The
+    oracle re-derives every bin's stream driver-side with bpe_encode_ids
+    and chunks it: the Spark sequences must match EXACTLY. Plan: the
+    encode is ONE ArrowEvalPython stage (not double-evaluated for count
+    + slice), no per-row Python."""
+    from amr_kg_spark.operators.textprep import (
+        materialize_token_ids,
+        normalize_text,
+    )
+    from amr_kg_spark.operators.tokenize import (
+        bpe_encode_ids,
+        build_vocab,
+    )
+
+    B, BINS = 64, 4
+    texts = _corpus_texts(spark, n=300)
+    merges = train_bpe(texts, num_merges=96)
+    vocab = build_vocab(merges, texts)
+    ranks = merge_ranks(merges)
+
+    docs = normalize_text(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ).select("doc_id", F.col("text_norm").alias("text"))
+    out = materialize_token_ids(
+        docs, budget=B, merges=merges, vocab=vocab, num_bins=BINS
+    )
+    rows = out.collect()
+    assert rows
+
+    # python oracle: per bin, concatenate each doc's FULL encoding in
+    # id order, then chunk the stream into budget-sized windows
+    binned = docs.select(
+        "doc_id", "text",
+        F.pmod(F.xxhash64("doc_id"), F.lit(BINS)).alias("b"),
+    ).collect()
+    streams: dict = {}
+    for r in sorted(binned, key=lambda r: (r.b, r.doc_id)):
+        streams.setdefault(r.b, []).extend(
+            bpe_encode_ids(r.text, ranks, vocab)
+        )
+    exp: dict = {}
+    for b, stream in streams.items():
+        exp[b] = [stream[i:i + B] for i in range(0, len(stream), B)]
+    got: dict = {}
+    for r in sorted(rows, key=lambda r: (r.pack_bin, r.seq_id)):
+        got.setdefault(r.pack_bin, []).append(list(r.seq_tokens))
+    assert set(got) == set(exp)
+    for b in exp:
+        assert got[b] == exp[b], f"bin {b} id-sequence mismatch"
+    # every non-tail sequence is exactly budget ids; ids are in-vocab
+    for b in got:
+        for seq in got[b][:-1]:
+            assert len(seq) == B
+        assert 0 < len(got[b][-1]) <= B
+        for seq in got[b]:
+            assert all(0 <= i < len(vocab) for i in seq)
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted output repeats nodes in the Initial Plan + detail
+    # sections; the executed tree is the part before "== Initial Plan =="
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, "encode must run ONCE"
+    assert "BatchEvalPython" not in plan, "no per-row Python"
