@@ -136,11 +136,17 @@ def main() -> None:
     n_triples = queries["kg_triples"](spark, sf_dir).count()
     triple_wall = time.monotonic() - t0
 
-    # marginal input throughput of the flagship extraction: min walls at
-    # two synthetic sizes, slope = turns/s with fixed costs cancelled
-    # (same estimator as bench_scaling.py, 2 sizes x min-of-2)
+    # marginal input throughput of the flagship extraction: least-squares
+    # slope of min-wall over FOUR synthetic sizes, repeats interleaved
+    # (the bench_scaling.py estimator). Replaces the two-point marginal,
+    # which swung 4.8x between rounds on unchanged code purely from box
+    # noise (round-6 verdict item #4); the r2 is reported so a corrupted
+    # window reads as a bad fit instead of a fake regression.
     turns_marginal = None
+    flagship_fit = None
     if time.monotonic() - bench_t0 < budget:
+        from bench_scaling import SIZE_MULTIPLIERS, _fit
+
         from amr_kg_spark.fixtures import synth_transcripts
         from amr_kg_spark.operators.mentions import detect_mentions
         from amr_kg_spark.operators.triples import (
@@ -155,8 +161,13 @@ def main() -> None:
                 resolve_pairs(spark, cooccurrence_pairs(detect_mentions(t)))
             )
 
-        sizes = (1_000_000, 2_000_000)
-        walls = {}
+        # warm the flagship plan itself (codegen + Arrow workers for THIS
+        # shape) so the smallest size's first sample isn't polluted — the
+        # same warmup bench_scaling.py's children do
+        _run(flagship(200_000))
+
+        sizes = [int(m * 1_200_000) for m in SIZE_MULTIPLIERS]
+        walls: dict[int, list[float]] = {n: [] for n in sizes}
         for _ in range(2):
             for n in sizes:
                 # re-check inside the loop: a co-tenant slow window must
@@ -165,13 +176,16 @@ def main() -> None:
                     break
                 t0 = time.monotonic()
                 _run(flagship(n))
-                walls[n] = min(
-                    walls.get(n, 1e9), time.monotonic() - t0
-                )
-        if len(walls) == len(sizes):
-            delta = walls[sizes[1]] - walls[sizes[0]]
-            if delta > 0.2:
-                turns_marginal = round((sizes[1] - sizes[0]) / delta, 1)
+                walls[n].append(round(time.monotonic() - t0, 3))
+        if all(walls[n] for n in sizes):
+            mins = [min(walls[n]) for n in sizes]
+            tps, r2 = _fit(sizes, mins)
+            turns_marginal = round(tps, 1)
+            flagship_fit = {
+                "sizes": sizes,
+                "min_walls": mins,
+                "r2": round(r2, 4),
+            }
 
     total = round(sum(times.values()), 3)
     out = {
@@ -186,6 +200,7 @@ def main() -> None:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / triple_wall, 2),
         "flagship_turns_per_sec_marginal": turns_marginal,
+        "flagship_marginal_fit": flagship_fit,
     }
     # regression guard (round-4 item 9): compare the min-of-k estimator at
     # the reference SF against 2x the recorded round-3 median. Only
