@@ -455,6 +455,7 @@ def materialize_sequences(
     text_col: str = "text",
     num_bins: int = 1024,
     shuffle_seed: int | None = None,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """The final assembly step of packing: where :func:`pack_sequences`
     assigns COORDINATES (pack_bin / seq_id / seq_offset), this emits the
@@ -466,7 +467,10 @@ def materialize_sequences(
 
     Output: one row per sequence — ``pack_bin``, ``seq_id``,
     ``seq_tokens`` (array<string>, exactly ``budget`` long except each
-    bin's tail) and ``n_tokens``. Run after :func:`normalize_text` (same
+    bin's tail) and ``n_tokens``; ``with_boundaries=True`` adds
+    ``seq_doc_starts`` (sorted in-sequence start offsets of each document
+    segment — the attention/loss-mask boundaries a training loader
+    needs). Run after :func:`normalize_text` (same
     space-token contract as :func:`chunk_documents`); ``token_col`` must
     equal ``size(split(text, ' '))`` for boundaries to line up — pass
     the count from :func:`with_token_counts`-style whitespace counting
@@ -490,6 +494,7 @@ def materialize_sequences(
         num_bins=num_bins,
         shuffle_seed=shuffle_seed,
         tok_arr=F.split(F.col(text_col), " "),
+        with_boundaries=with_boundaries,
     )
 
 
@@ -502,6 +507,8 @@ def materialize_token_ids(
     text_col: str = "text",
     num_bins: int = 1024,
     shuffle_seed: int | None = None,
+    eod_id: int | None = None,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Training-ready packing: the BPE-token-id twin of
     :func:`materialize_sequences` — each document is encoded to its
@@ -523,6 +530,10 @@ def materialize_token_ids(
     ``vocab`` defaults to :func:`~amr_kg_spark.operators.tokenize.
     build_vocab` over the merge table alone; pass the vocab built with
     the training sample to cover base symbols no merge touches.
+    ``eod_id`` appends an end-of-document delimiter id to every
+    document's encoding before packing (reserve it via
+    ``build_vocab(specials=("<unk>", "<eod>"))``); ``with_boundaries``
+    adds ``seq_doc_starts`` (see :func:`materialize_sequences`).
 
     Scale shape: encoding is ONE batched Arrow stage computed below the
     packing exchange (plan-asserted single ArrowEvalPython in tests); the
@@ -533,9 +544,17 @@ def materialize_token_ids(
 
     if vocab is None:
         vocab = build_vocab(merges)
-    ids = docs.withColumn(
-        "__ids", bpe_token_ids(text_col, merges, vocab)
-    ).withColumn("__nt", F.size("__ids"))
+    id_expr = bpe_token_ids(text_col, merges, vocab)
+    if eod_id is not None:
+        # standard end-of-document delimiter: appended to each document's
+        # encoding BEFORE packing, so it counts against the budget and
+        # boundaries stay consistent (n_tokens = size(ids) by
+        # construction). Reserve the id via build_vocab(specials=(...,
+        # "<eod>")) so no real token collides with it.
+        id_expr = F.concat(id_expr, F.array(F.lit(eod_id).cast("int")))
+    ids = docs.withColumn("__ids", id_expr).withColumn(
+        "__nt", F.size("__ids")
+    )
     return _assemble_stream(
         ids,
         budget=budget,
@@ -544,6 +563,7 @@ def materialize_token_ids(
         num_bins=num_bins,
         shuffle_seed=shuffle_seed,
         tok_arr=F.col("__ids"),
+        with_boundaries=with_boundaries,
     )
 
 
@@ -555,12 +575,15 @@ def _assemble_stream(
     num_bins: int,
     shuffle_seed: int | None,
     tok_arr,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Shared assembly core for the two materializers: pack the stream,
     split each row's token ARRAY (``tok_arr``; ``size`` must equal
     ``token_col``) into per-sequence pieces, reassemble sequences in
     stream order. Element type is generic — string tokens and int ids
-    slice/flatten identically."""
+    slice/flatten identically. ``with_boundaries`` adds
+    ``seq_doc_starts``: the sorted in-sequence start offsets of each
+    document segment (for attention/loss masking)."""
     packed = pack_sequences(
         docs,
         budget=budget,
@@ -615,18 +638,28 @@ def _assemble_stream(
         )
         .filter(F.size("__piece") > 0)
     )
+    sorted_pieces = F.array_sort(
+        F.collect_list(F.struct("__seq_off", "__piece"))
+    )
+    aggs = [
+        F.flatten(
+            F.transform(sorted_pieces, lambda s: s["__piece"])
+        ).alias("seq_tokens")
+    ]
+    if with_boundaries:
+        # segment starts WITHIN the sequence (sorted piece offsets): the
+        # block-diagonal attention / loss-mask boundaries a training
+        # loader needs. A long document's continuation piece starts a
+        # segment too — its earlier tokens live in another sequence, so
+        # attention can't reach them anyway.
+        aggs.append(
+            F.transform(sorted_pieces, lambda s: s["__seq_off"]).alias(
+                "seq_doc_starts"
+            )
+        )
     return (
         exploded.groupBy("pack_bin", "seq_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__seq_off", "__piece"))
-                    ),
-                    lambda s: s["__piece"],
-                )
-            ).alias("seq_tokens")
-        )
+        .agg(*aggs)
         .withColumn("n_tokens", F.size("seq_tokens"))
     )
 

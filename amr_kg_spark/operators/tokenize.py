@@ -192,15 +192,21 @@ UNK = "<unk>"
 def build_vocab(
     merges: list[tuple[str, str]],
     texts: Iterable[str] | None = None,
+    specials: tuple[str, ...] = (UNK,),
 ) -> dict[str, int]:
-    """Deterministic token->id table for the trained merge table: id 0 is
-    the reserved ``<unk>``; every symbol a merge consumes or produces —
-    plus, when ``texts`` (normally the training sample) is given, every
-    base chunk symbol observed in it — gets an id by sorted order. A
-    closed vocab needs an UNK: encode-time text can contain characters
-    the training sample never saw (the same convention as any trained
-    tokenizer). Persist alongside the merge table (it is a pure function
-    of (merges, sample), so retrains reproduce it bit-identically)."""
+    """Deterministic token->id table for the trained merge table:
+    ``specials`` take ids 0..len-1 in order (``<unk>`` must stay first —
+    unknown symbols encode to id 0; add e.g. ``"<eod>"`` to reserve a
+    document delimiter for ``materialize_token_ids(eod_id=...)``); every
+    symbol a merge consumes or produces — plus, when ``texts`` (normally
+    the training sample) is given, every base chunk symbol observed in it
+    — gets an id by sorted order after the specials. A closed vocab needs
+    an UNK: encode-time text can contain characters the training sample
+    never saw (the same convention as any trained tokenizer). Persist
+    alongside the merge table (it is a pure function of (merges, sample,
+    specials), so retrains reproduce it bit-identically)."""
+    if not specials or specials[0] != UNK:
+        raise ValueError(f"specials must start with {UNK!r} (id 0)")
     syms: set[str] = set()
     for a, b in merges:
         syms.update((a, b, a + b))
@@ -210,7 +216,12 @@ def build_vocab(
                 continue
             for chunk in _pretokenize(t):
                 syms.update(_chunk_symbols(chunk))
-    return {UNK: 0, **{s: i for i, s in enumerate(sorted(syms), start=1)}}
+    syms -= set(specials)
+    base = {s: i for i, s in enumerate(specials)}
+    base.update(
+        {s: i for i, s in enumerate(sorted(syms), start=len(specials))}
+    )
+    return base
 
 
 def bpe_encode_ids(

@@ -101,6 +101,17 @@ def main() -> None:
         "(array<int>, encode-then-slice boundaries) with --tokenizer bpe",
     )
     ap.add_argument(
+        "--eod", action="store_true",
+        help="with --materialize --tokenizer bpe: reserve an <eod> id in "
+        "the vocab and append it to every document's encoding (standard "
+        "document delimiter; counts against the budget)",
+    )
+    ap.add_argument(
+        "--boundaries", action="store_true",
+        help="with --materialize: also emit seq_doc_starts (in-sequence "
+        "document-segment start offsets — attention/loss-mask boundaries)",
+    )
+    ap.add_argument(
         "--val-fraction", type=float, default=None, metavar="FRAC",
         help="deterministic train/validation split before packing "
         "(split_corpus id-hash predicate): output lands in "
@@ -130,6 +141,13 @@ def main() -> None:
     ap.add_argument("--bpe-sample", type=int, default=2000,
                     help="lowest-id docs the BPE trainer reads (driver-side)")
     args = ap.parse_args()
+    if args.eod and not (args.materialize and args.tokenizer == "bpe"):
+        raise SystemExit(
+            "--eod appends a reserved token id: it requires "
+            "--materialize --tokenizer bpe"
+        )
+    if args.boundaries and not args.materialize:
+        raise SystemExit("--boundaries requires --materialize")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -322,7 +340,8 @@ def main() -> None:
 
         sample = sample_texts(kept, n=args.bpe_sample)
         merges = train_bpe(sample, num_merges=args.bpe_merges)
-        vocab = build_vocab(merges, sample)
+        specials = ("<unk>", "<eod>") if args.eod else ("<unk>",)
+        vocab = build_vocab(merges, sample, specials=specials)
         counts["bpe_merges_trained"] = len(merges)
         counts["bpe_vocab_size"] = len(vocab)
         toks = with_token_counts(kept, counter="bpe", merges=merges)
@@ -371,6 +390,8 @@ def main() -> None:
                 vocab=vocab,
                 num_bins=args.num_bins,
                 shuffle_seed=args.shuffle_seed,
+                eod_id=vocab["<eod>"] if args.eod else None,
+                with_boundaries=args.boundaries,
             )
         if args.materialize:
             from amr_kg_spark.operators.textprep import materialize_sequences
@@ -381,6 +402,7 @@ def main() -> None:
                 token_col=None,
                 num_bins=args.num_bins,
                 shuffle_seed=args.shuffle_seed,
+                with_boundaries=args.boundaries,
             )
         return pack_sequences(
             side,

@@ -1103,6 +1103,7 @@ def test_prep_corpus_job_split_decontam_materialize_bpe(tmp_path):
             "--min-quality", "0.0", "--min-tokens", "1",
             "--val-fraction", "0.4", "--val-decontam", "8",
             "--materialize", "--tokenizer", "bpe",
+            "--eod", "--boundaries",
             "--bpe-merges", "48", "--bpe-sample", "40",
             "--budget", "64",
         ],
@@ -1128,3 +1129,9 @@ def test_prep_corpus_job_split_decontam_materialize_bpe(tmp_path):
         lens = [len(x) for x in t.column("seq_tokens").to_pylist()]
         assert max(lens) == 64, "non-tail sequences must be budget-length"
         assert stats[f"total_tokens_{side}"] == sum(lens)
+        # --eod: the delimiter id (1) appears once per packed document;
+        # --boundaries: every sequence opens with a segment at offset 0
+        seqs = t.column("seq_tokens").to_pylist()
+        assert any(1 in s for s in seqs), "<eod> ids must be present"
+        for starts in t.column("seq_doc_starts").to_pylist():
+            assert starts[0] == 0

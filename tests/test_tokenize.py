@@ -237,3 +237,98 @@ def test_materialize_token_ids_matches_python_oracle(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ArrowEvalPython") == 1, "encode must run ONCE"
     assert "BatchEvalPython" not in plan, "no per-row Python"
+
+
+def test_materialize_token_ids_eod_and_boundaries(spark):
+    """eod_id appends a reserved end-of-document delimiter to every
+    document's encoding BEFORE packing (it counts against the budget),
+    and with_boundaries emits seq_doc_starts — the sorted in-sequence
+    start offset of every document segment (the block-diagonal
+    attention-mask boundaries). Oracle: a driver-side walk of each bin's
+    delimited id stream."""
+    from amr_kg_spark.operators.textprep import (
+        materialize_token_ids,
+        normalize_text,
+    )
+    from amr_kg_spark.operators.tokenize import (
+        bpe_encode_ids,
+        build_vocab,
+    )
+
+    B, BINS = 48, 4
+    texts = _corpus_texts(spark, n=200)
+    merges = train_bpe(texts, num_merges=64)
+    vocab = build_vocab(merges, texts, specials=("<unk>", "<eod>"))
+    eod = vocab["<eod>"]
+    assert eod == 1
+    ranks = merge_ranks(merges)
+
+    docs = normalize_text(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ).select("doc_id", F.col("text_norm").alias("text"))
+    out = materialize_token_ids(
+        docs, budget=B, merges=merges, vocab=vocab, num_bins=BINS,
+        eod_id=eod, with_boundaries=True,
+    )
+    rows = out.collect()
+    assert rows and "seq_doc_starts" in out.columns
+
+    binned = docs.select(
+        "doc_id", "text",
+        F.pmod(F.xxhash64("doc_id"), F.lit(BINS)).alias("b"),
+    ).collect()
+    exp_chunks: dict = {}
+    exp_starts: dict = {}
+    for bin_id in {r.b for r in binned}:
+        stream: list = []
+        for r in sorted(
+            (r for r in binned if r.b == bin_id), key=lambda r: r.doc_id
+        ):
+            ids = bpe_encode_ids(r.text, ranks, vocab) + [eod]
+            pos = len(stream)
+            stream.extend(ids)
+            p = pos
+            while p < len(stream):
+                seq = p // B
+                exp_starts.setdefault((bin_id, seq), []).append(p % B)
+                p = (seq + 1) * B
+        exp_chunks[bin_id] = [
+            stream[i:i + B] for i in range(0, len(stream), B)
+        ]
+    got_chunks: dict = {}
+    for r in sorted(rows, key=lambda r: (r.pack_bin, r.seq_id)):
+        got_chunks.setdefault(r.pack_bin, []).append(list(r.seq_tokens))
+        seq_index = r.seq_id - r.pack_bin * (1 << 40)
+        assert list(r.seq_doc_starts) == sorted(
+            exp_starts[(r.pack_bin, seq_index)]
+        ), (r.pack_bin, seq_index)
+        # a sequence always opens with a segment (fresh doc or a long
+        # doc's continuation piece)
+        assert r.seq_doc_starts[0] == 0
+        # every <eod> is the LAST token of its segment: the id right
+        # before each interior boundary is the delimiter
+        for s in r.seq_doc_starts[1:]:
+            assert r.seq_tokens[s - 1] == eod, (r.seq_id, s)
+    assert got_chunks == exp_chunks
+    # default output schema is unchanged (no boundary column)
+    plain = materialize_token_ids(
+        docs, budget=B, merges=merges, vocab=vocab, num_bins=BINS
+    )
+    assert "seq_doc_starts" not in plain.columns
+
+
+def test_build_vocab_specials_reserved():
+    import pytest
+
+    from amr_kg_spark.operators.tokenize import UNK, build_vocab
+
+    merges = [("a", "b</w>"), ("c", "ab</w>")]
+    v = build_vocab(merges, specials=(UNK, "<eod>"))
+    assert v[UNK] == 0 and v["<eod>"] == 1
+    # real symbols start after the specials and never collide
+    assert sorted(v.values()) == list(range(len(v)))
+    assert all(
+        v[s] >= 2 for s in v if s not in (UNK, "<eod>")
+    )
+    with pytest.raises(ValueError):
+        build_vocab(merges, specials=("<eod>",))  # unk must be id 0
