@@ -730,3 +730,185 @@ def dedup_lines(
         )
         .drop("__kept")
     )
+
+
+def corpus_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "exact",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """The persistable fingerprint state of an existing corpus — what a
+    production pipeline keeps BETWEEN ingests so each new crawl increment
+    can be deduplicated against everything already accepted without ever
+    re-reading (or even retaining) the accepted text. One row per
+    document:
+
+    - ``method="exact"``: ``(id, fp)`` with ``fp = xxhash64(text)`` —
+      8 bytes/doc, catches byte-identical re-crawls.
+    - ``method="minhash"``: ``(id, sig)`` with ``sig`` the
+      ``num_hashes``-slot MinHash signature (same construction as
+      :func:`minhash_pairs_native`: min over shingle-hashes of
+      ``xxhash64(h, i)``) — ``8k`` bytes/doc, catches near-dups.
+
+    Docs with no shingles (shorter than ``n`` tokens) get no minhash row
+    (nothing to match on). Fingerprints are a pure function of the text,
+    so the table can be rebuilt or unioned across increments freely
+    (``fingerprints(old) UNION fingerprints(accepted new)`` is the
+    day-over-day update).
+
+    No reference analogue (the reference rebuilds its KG from scratch per
+    run — ``/root/reference/src/amr.py`` has no incremental path);
+    beyond-reference surface like the rest of the datapipe family."""
+    if method == "exact":
+        return docs.select(
+            F.col(id_col).alias("id"),
+            F.xxhash64(F.col(text_col)).alias("fp"),
+        )
+    if method != "minhash":
+        raise ValueError(f"unknown method: {method!r}")
+    base = (
+        with_word_shingles(docs, text_col, n, out="hs", hashed=True)
+        .select(F.col(id_col).alias("id"), "hs")
+        .filter(F.size("hs") > 0)
+    )
+    sh = base.select("id", F.explode("hs").alias("sh"))
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        "id", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def incremental_matches(
+    new_docs: DataFrame,
+    fingerprints: DataFrame,
+    method: str = "exact",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Match a new ingest batch against an existing corpus's
+    :func:`corpus_fingerprints` table. Returns one row per match:
+    ``(new_id, corpus_id, est_jaccard)`` (``est_jaccard`` is 1.0 for
+    exact hits).
+
+    ``method="minhash"``: banded candidates (any shared band bucket)
+    reranked by the MinHash Jaccard ESTIMATE — the fraction of agreeing
+    signature slots. The corpus text is gone by design, so the exact
+    array_intersect rerank of :func:`minhash_pairs_native` is impossible
+    here; the estimator is unbiased with stderr ~ sqrt(j(1-j)/k)
+    (~0.09 at j=0.5, k=32) — size ``num_hashes`` for the tolerance the
+    ingest policy needs, and keep ``threshold`` meaningfully above the
+    banding floor so borderline estimates err on the drop side only for
+    genuine near-dups.
+
+    Scale shape: the INCREMENT is the small side — its banded frame
+    broadcasts, the fingerprint table scans once with no shuffle (the
+    same asymmetry as :func:`decontaminate`'s benchmark side). Bands
+    travel as (id, band, bh) longs; signatures rejoin only for surviving
+    candidates."""
+    if method == "exact":
+        new_fp = new_docs.select(
+            F.col(id_col).alias("new_id"),
+            F.xxhash64(F.col(text_col)).alias("fp"),
+        )
+        return (
+            fingerprints.select(F.col("id").alias("corpus_id"), "fp")
+            .join(F.broadcast(new_fp), "fp")
+            .select("new_id", "corpus_id", F.lit(1.0).alias("est_jaccard"))
+        )
+    if method != "minhash":
+        raise ValueError(f"unknown method: {method!r}")
+    r = num_hashes // bands
+    new_sig = corpus_fingerprints(
+        new_docs, id_col, text_col, "minhash", n, num_hashes
+    )
+
+    def banded(sig_df, out_id):
+        return sig_df.select(
+            F.col("id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", j * r + i + 1)
+                                    for i in range(r)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(out_id, "b.band", "b.bh")
+
+    cands = (
+        banded(fingerprints, "corpus_id")
+        .join(F.broadcast(banded(new_sig, "new_id")), ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates()
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig_n", "sig_c", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(
+            F.broadcast(
+                new_sig.select(
+                    F.col("id").alias("new_id"), F.col("sig").alias("sig_n")
+                )
+            ),
+            "new_id",
+        )
+        .join(
+            fingerprints.select(
+                F.col("id").alias("corpus_id"), F.col("sig").alias("sig_c")
+            ),
+            "corpus_id",
+        )
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    fingerprints: DataFrame,
+    method: str = "exact",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop new-batch documents already present (exactly, or as near-dups
+    with ``method="minhash"``) in the corpus summarized by
+    ``fingerprints`` — the daily-increment half of corpus dedup. Keeps
+    every ``new_docs`` column. INTRA-batch duplicates are out of scope by
+    design: compose with :func:`dedup_keep_representatives` (or
+    :func:`dedup_exact`) on the batch first, then union the survivors'
+    fingerprints into the state table."""
+    hits = incremental_matches(
+        new_docs, fingerprints, method, id_col, text_col,
+        n, num_hashes, bands, threshold,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(hits, id_col, "left_anti")

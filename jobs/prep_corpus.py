@@ -7,6 +7,7 @@ raw documents in, packed training sequences out, audit trail on the side:
         [--benchmark <eval parquet> [--decontam-n 13]] \
         [--min-quality 0.2] [--lang en] [--dedup-threshold 0.8] \
         [--lm-drop-bottom 0.05] [--semantic-dedup 0.95] \
+        [--dedup-against <fp dir> [--emit-fingerprints <dir>]] \
         [--sample lang=en:0.5,lang=de:0.25 | --mix lang=en:2e9,...] \
         [--budget 2048] [--shuffle-seed 42] [--materialize] \
         [--val-fraction 0.01 [--val-decontam 13]] \
@@ -20,6 +21,9 @@ Stage order (each a library operator, composed, nothing bespoke):
   3. corpus_filter          — single-pass quality/lang/repetition gates
   3.5 dedup_lines           — optional corpus-wide boilerplate-line dedup
   3.7 unigram-LM cut        — optional cheap-LM quality tail drop
+  3.9 incremental_dedup     — optional drop of docs an earlier increment
+      already accepted (--dedup-against fingerprint state; the accepted
+      survivors' state re-emits via --emit-fingerprints)
   4. dedup_keep_representatives — near-dup clusters -> keep min id
   4.5 semantic dedup        — optional embedding-cosine near-dup removal
       (featurize_text: deterministic text->vector, no external vectors)
@@ -86,6 +90,19 @@ def main() -> None:
         "--dedup-lines", type=int, default=None, metavar="MIN_CHARS",
         help="corpus-wide line dedup before doc dedup; lines shorter than "
         "MIN_CHARS are exempt",
+    )
+    ap.add_argument(
+        "--dedup-against", default=None, metavar="FP_DIR",
+        help="INCREMENTAL ingest: drop documents already present in the "
+        "corpus whose fingerprint table (corpus_fingerprints parquet) "
+        "lives at FP_DIR — exact for (id, fp) tables, minhash-estimate "
+        "for (id, sig) tables (schema auto-detected)",
+    )
+    ap.add_argument(
+        "--emit-fingerprints", default=None, metavar="DIR",
+        help="write the ACCEPTED documents' fingerprint table to DIR "
+        "(same method as the --dedup-against table, else exact) — union "
+        "it with the existing state for the next increment",
     )
     ap.add_argument("--sample", default=None, help="stratum:fraction list")
     ap.add_argument("--mix", default=None, help="stratum:token-budget list")
@@ -289,6 +306,22 @@ def main() -> None:
             kept.join(keep_ids, "doc_id", "left_semi"), "after_lm_filter"
         )
 
+    # 3.9: incremental dedup (optional) — drop documents the corpus has
+    # ALREADY accepted in previous increments, using only its persisted
+    # fingerprint table (never the accepted text). Runs on the cleaned
+    # text, which is what --emit-fingerprints records, so increments of
+    # the SAME job compare in the same normalization space.
+    fp_method = "exact"
+    if args.dedup_against:
+        from amr_kg_spark.operators.dedup import incremental_dedup
+
+        state = spark.read.parquet(args.dedup_against)
+        fp_method = "minhash" if "sig" in state.columns else "exact"
+        kept = checkpointed(
+            incremental_dedup(kept, state, method=fp_method),
+            "after_incremental_dedup",
+        )
+
     # 4: near-dup removal (clusters -> min-id representative)
     kept = checkpointed(
         dedup_keep_representatives(
@@ -315,6 +348,19 @@ def main() -> None:
         bench = spark.read.parquet(args.benchmark)
         kept = checkpointed(
             decontaminate(kept, bench, n=args.decontam_n), "after_decontam"
+        )
+
+    # accepted-state snapshot for the NEXT increment: everything that
+    # survived dedup/decontam (docs later dropped by sampling/mixing were
+    # still SEEN — a re-crawl of one should not re-enter tomorrow)
+    if args.emit_fingerprints:
+        from amr_kg_spark.operators.dedup import corpus_fingerprints
+
+        corpus_fingerprints(kept, method=fp_method).write.mode(
+            "overwrite"
+        ).parquet(args.emit_fingerprints)
+        counts["fingerprints_emitted"] = (
+            spark.read.parquet(args.emit_fingerprints).count()
         )
 
     # 6: deterministic mix (rate-based or token-budget-based)
