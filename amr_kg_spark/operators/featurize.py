@@ -161,3 +161,100 @@ def semantic_neardup_pairs(
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+def fit_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_per_class: int = 2000,
+    iters: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> list[float]:
+    """Train the cheap linear quality classifier of CCNet/GPT-3-style
+    pipelines: logistic regression separating a POSITIVE corpus (text you
+    want more of — curated prose, a reference corpus) from a NEGATIVE one
+    (crawl junk), over the deterministic :func:`featurize_text`
+    embeddings (length-normalized, so the classifier learns token
+    DISTRIBUTION, not document size). Returns ``dim + 1`` weights (bias
+    last) for :func:`score_quality`.
+
+    Driver-side model fitting on a BOUNDED deterministic sample (the
+    ``sample_per_class`` lowest-id docs per class) — the same fitting
+    model as IVF's KMeans, ``train_bpe`` and ``fit_unigram_lm``: the
+    model is tiny (33 floats), the data it reads is capped, and scoring
+    (the part that touches 100 TB) is a pure Catalyst projection. The
+    fit itself is full-batch gradient descent from zero init with fixed
+    iterations — deterministic, no seed.
+
+    No reference analogue (beyond-reference surface; the public
+    technique is Wenzek et al. 2019 / Brown et al. 2020 quality
+    filtering, re-derived here)."""
+    import math
+
+    def collect(df, label):
+        rows = (
+            featurize_text(df, dim=dim, text_col=text_col, out_col="__e")
+            .select(id_col, "__e")
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_per_class)
+            .collect()
+        )
+        out = []
+        for r in rows:
+            e = r["__e"]  # dunder names aren't Row attributes
+            norm = math.sqrt(sum(x * x for x in e))
+            if norm > 0:
+                out.append(([x / norm for x in e], label))
+        return out
+
+    data = collect(pos, 1.0) + collect(neg, 0.0)
+    if not data:
+        raise ValueError("empty training sample for quality classifier")
+    w = [0.0] * (dim + 1)
+    for _ in range(iters):
+        grad = [0.0] * (dim + 1)
+        for e, y in data:
+            z = sum(wi * xi for wi, xi in zip(w, e)) + w[dim]
+            p = 1.0 / (1.0 + math.exp(-max(-30.0, min(30.0, z))))
+            d = p - y
+            for j in range(dim):
+                grad[j] += d * e[j]
+            grad[dim] += d
+        inv = 1.0 / len(data)
+        for j in range(dim):
+            w[j] -= lr * (grad[j] * inv + l2 * w[j])
+        w[dim] -= lr * grad[dim] * inv
+    return w
+
+
+def score_quality(
+    docs: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    out_col: str = "quality_logit",
+) -> DataFrame:
+    """Score every document with the trained classifier — a pure Catalyst
+    projection (featurize → length-normalize → dot product + bias): no
+    UDF, no shuffle, no fitted state on executors beyond the 33-float
+    weight literal baked into the plan. Positive logit = looks like the
+    positive corpus. Token-free documents (zero embedding) score exactly
+    the bias (no distributional evidence either way)."""
+    dim = len(weights) - 1
+    scored = featurize_text(docs, dim=dim, text_col=text_col, out_col="__e")
+    sq = F.aggregate(
+        "__e", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    wv = F.array(*[F.lit(float(x)) for x in weights[:dim]])
+    dot = F.aggregate(
+        F.zip_with("__e", wv, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    logit = F.when(
+        sq > 0, dot / F.sqrt(sq) + F.lit(float(weights[dim]))
+    ).otherwise(F.lit(float(weights[dim])))
+    return scored.withColumn(out_col, logit).drop("__e")

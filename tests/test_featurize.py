@@ -148,3 +148,76 @@ def test_semantic_neardup_plan_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan.replace("array_join", "")
+
+
+def test_quality_classifier_separates_and_matches_oracle(spark):
+    """The trained linear quality filter: (1) separates held-out prose
+    from token-soup junk (AUC), (2) Spark scoring equals a driver-side
+    numpy replay of normalize+dot+bias per document, (3) the fit is
+    deterministic, (4) scoring is Catalyst-only."""
+    import math
+
+    from amr_kg_spark.operators.featurize import (
+        featurize_text,
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    prose = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # deterministic junk: hash-soup tokens, no natural-language structure
+    junk = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("zq"), F.conv(F.hex(F.xxhash64("id", F.lit(i))), 16, 36))
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    train_pos = prose.filter("doc_id % 2 = 0")
+    train_neg = junk.filter("doc_id % 2 = 0")
+    w = fit_quality_classifier(train_pos, train_neg, sample_per_class=200)
+    assert len(w) == 33
+    assert w == fit_quality_classifier(
+        train_pos, train_neg, sample_per_class=200
+    ), "fit must be deterministic"
+
+    held_pos = score_quality(prose.filter("doc_id % 2 = 1"), w).collect()
+    held_neg = score_quality(junk.filter("doc_id % 2 = 1"), w).collect()
+    assert held_pos and held_neg
+    # AUC via rank statistic
+    scores = [(r.quality_logit, 1) for r in held_pos] + [
+        (r.quality_logit, 0) for r in held_neg
+    ]
+    scores.sort()
+    n_pos = len(held_pos)
+    n_neg = len(held_neg)
+    rank_sum = sum(i + 1 for i, (_, y) in enumerate(scores) if y == 1)
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert auc > 0.9, f"AUC {auc}"
+
+    # value oracle: numpy-free driver replay on a handful of docs
+    emb = {
+        r.doc_id: r.e
+        for r in featurize_text(prose, out_col="e").limit(20).collect()
+    }
+    got = {
+        r.doc_id: r.quality_logit
+        for r in score_quality(prose, w).limit(20).collect()
+    }
+    for did, e in emb.items():
+        nrm = math.sqrt(sum(x * x for x in e))
+        exp = (
+            sum(wi * xi / nrm for wi, xi in zip(w[:32], e)) + w[32]
+            if nrm > 0
+            else w[32]
+        )
+        assert abs(got[did] - exp) < 1e-9, did
+
+    plan = score_quality(prose, w)._sc._jvm.PythonSQLUtils.explainString(
+        score_quality(prose, w)._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan, "scoring must stay JVM-side"
