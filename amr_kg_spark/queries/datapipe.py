@@ -259,6 +259,9 @@ TP_DECONTAM_MOD = 7
 TP_DECONTAM_N = 3
 TP_CHUNK_TOKENS = 40
 TP_CHUNK_OVERLAP = 8
+# train/val split fraction for the `split` variant (seed = split_corpus's
+# default 777; the id-hash predicate replays bit-exactly via xxh64_sql)
+TP_SPLIT_FRACTION = 0.25
 
 
 def q_textprep(spark, sf):
@@ -311,6 +314,16 @@ def q_textprep(spark, sf):
         F.col("mix_tokens_before").cast("long").alias("v1"),
         F.col("n_tokens").cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
+    )
+    tr, va = TP.split_corpus(docs, val_fraction=TP_SPLIT_FRACTION)
+    split = tr.select(
+        F.lit("split").alias("variant"), "doc_id",
+        F.lit("train").alias("s"), *nulls,
+    ).unionByName(
+        va.select(
+            F.lit("split").alias("variant"), "doc_id",
+            F.lit("val").alias("s"), *nulls,
+        )
     )
     bench = docs.filter(F.col("doc_id") % TP_DECONTAM_MOD == 0)
     train = docs.filter(F.col("doc_id") % TP_DECONTAM_MOD != 0)
@@ -374,6 +387,7 @@ def q_textprep(spark, sf):
         .unionByName(lines)
         .unionByName(embed)
         .unionByName(chunk)
+        .unionByName(split)
     )
 
 
@@ -921,10 +935,25 @@ FROM (
   )
 )
 """
+    # split: the train/val id-hash predicate (xxhash64(doc_id, 777) low
+    # 30 bits vs the fraction cut) replayed bit-exactly — upgrades
+    # split_corpus from pytest-only to the driver's value gate
+    splhashed = spark_xxhash64_long_int_sql(
+        "SELECT doc_id FROM documents", "doc_id", 777, "hh"
+    )
+    spl_cut = int(TP_SPLIT_FRACTION * (1 << 30))
+    split = f"""
+SELECT 'split' AS variant, doc_id,
+       CASE WHEN {pmod('hh', 1 << 30)} < {spl_cut} THEN 'val' ELSE 'train' END AS s,
+       CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({splhashed})
+"""
     return " UNION ALL ".join(
         f"({q})"
         for q in (
-            norm, scrub, pack, sample, mix, decontam, urls, lines, embed, chunk
+            norm, scrub, pack, sample, mix, decontam, urls, lines, embed,
+            chunk, split,
         )
     )
 

@@ -21,6 +21,8 @@ Stage order (each a library operator, composed, nothing bespoke):
   3. corpus_filter          — single-pass quality/lang/repetition gates
   3.5 dedup_lines           — optional corpus-wide boilerplate-line dedup
   3.7 unigram-LM cut        — optional cheap-LM quality tail drop
+  3.8 quality classifier    — optional trained-linear-model tail drop
+      (--quality-pos reference corpus; CCNet-style noisy negatives)
   3.9 incremental_dedup     — optional drop of docs an earlier increment
       already accepted (--dedup-against fingerprint state; the accepted
       survivors' state re-emits via --emit-fingerprints)
@@ -79,6 +81,17 @@ def main() -> None:
         help="fit a unigram LM on the surviving corpus and drop the "
         "bottom FRAC of documents by mean token logprob (CCNet-style "
         "cheap-LM quality cut; threshold via approxQuantile)",
+    )
+    ap.add_argument(
+        "--quality-pos", default=None, metavar="POS_DIR",
+        help="train the linear quality classifier with POS_DIR (a curated "
+        "reference corpus parquet) as positives and THIS corpus as noisy "
+        "negatives (the CCNet trick), then drop the lowest-scoring tail",
+    )
+    ap.add_argument(
+        "--quality-drop-bottom", type=float, default=0.1, metavar="FRAC",
+        help="with --quality-pos: fraction of the corpus to drop from the "
+        "bottom of the classifier-logit distribution (approxQuantile cut)",
     )
     ap.add_argument(
         "--semantic-dedup", type=float, default=None, metavar="COSINE",
@@ -304,6 +317,30 @@ def main() -> None:
         keep_ids = scores.filter(F.col("lm_score") >= thresh).select("doc_id")
         kept = checkpointed(
             kept.join(keep_ids, "doc_id", "left_semi"), "after_lm_filter"
+        )
+
+    # 3.8: trained-classifier quality cut (optional) — fit the linear
+    # quality model driver-side (positives = the curated reference,
+    # negatives = a bounded sample of THIS corpus: the standard
+    # noisy-negative trick), score every doc in one Catalyst projection,
+    # drop the bottom tail by logit
+    if args.quality_pos is not None:
+        from amr_kg_spark.operators.featurize import (
+            fit_quality_classifier,
+            score_quality,
+        )
+
+        pos = spark.read.parquet(args.quality_pos)
+        weights = fit_quality_classifier(pos, kept)
+        scored = score_quality(kept, weights)
+        q_thresh = scored.approxQuantile(
+            "quality_logit", [args.quality_drop_bottom], 0.001
+        )[0]
+        kept = checkpointed(
+            scored.filter(F.col("quality_logit") >= q_thresh).drop(
+                "quality_logit"
+            ),
+            "after_quality_clf",
         )
 
     # 3.9: incremental dedup (optional) — drop documents the corpus has

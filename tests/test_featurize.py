@@ -221,3 +221,83 @@ def test_quality_classifier_separates_and_matches_oracle(spark):
         score_quality(prose, w)._jdf.queryExecution(), "formatted"
     )
     assert "EvalPython" not in plan, "scoring must stay JVM-side"
+
+
+def test_prep_corpus_quality_classifier_stage(tmp_path):
+    """--quality-pos end-to-end: the job fits the classifier against a
+    prose reference, scores the mixed prose+junk corpus and drops the
+    bottom tail — which must be junk-heavy. Packing coordinates carry
+    doc_id, so the output parquet shows exactly who survived."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+
+    words = ("the quick brown fox jumps over a lazy dog and runs through "
+             "green fields while birds sing in morning light").split()
+
+    def prose(i, n=18):
+        # same word DISTRIBUTION as the reference, but quasi-random order
+        # per doc: doc-level n-gram dedup must NOT see these as near-dups
+        # (a sliding-window fixture shares most 3-gram shingles and gets
+        # collapsed by stage 4 before the classifier is even tested)
+        return " ".join(
+            words[(j * 17 + i * 29 + j * j * 3) % len(words)]
+            for j in range(n)
+        )
+
+    def junk(i, n=14):
+        return " ".join(
+            f"zq{(i * 2654435761 + j * 40503) % 36**5:x}" for j in range(n)
+        )
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }),
+            path,
+        )
+
+    ref = str(tmp_path / "ref.parquet")
+    write(ref, [(1000 + i, prose(i + 50)) for i in range(40)])
+    # corpus: 20 prose (ids 0-19) + 10 junk (ids 20-29)
+    corpus = str(tmp_path / "docs.parquet")
+    write(corpus, [(i, prose(i)) for i in range(20)]
+          + [(20 + i, junk(i)) for i in range(10)])
+
+    out = str(tmp_path / "packed")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", corpus, "--output", out,
+            "--min-quality", "0.0", "--min-tokens", "1",
+            "--quality-pos", ref, "--quality-drop-bottom", "0.3",
+            "--budget", "64",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["after_quality_clf"] < stats["after_filter"], stats
+    survivors = set(
+        pq.read_table(out).column("doc_id").to_pylist()
+    )
+    dropped = set(range(30)) - survivors
+    junk_dropped = {d for d in dropped if d >= 20}
+    assert dropped, stats
+    assert len(junk_dropped) / len(dropped) >= 0.7, (
+        f"dropped tail must be junk-heavy: {sorted(dropped)}"
+    )
