@@ -83,3 +83,33 @@ def stream_pack_sequences(
     return binned.groupBy("pack_bin").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_incremental_dedup(
+    new_docs: DataFrame,
+    fingerprints: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The streaming half of incremental ingest: drop re-crawled
+    documents from a STREAM of incoming docs against the STATIC
+    fingerprint table of everything already accepted
+    (:func:`~amr_kg_spark.operators.dedup.corpus_fingerprints`,
+    ``method="exact"``). A stream-static left_anti join is stateless per
+    micro-batch — no watermark, no state store: each batch hashes its
+    texts and anti-joins the fingerprint side (broadcast-eligible when it
+    fits, scan otherwise), so the operator matches the batch
+    :func:`~amr_kg_spark.operators.dedup.incremental_dedup` exactly on
+    the same rows. Near-dup (minhash) streaming ingest is deliberately
+    batch-only: its banding join + estimate rerank is a multi-join plan
+    the micro-batch planner re-executes per trigger — run increments
+    through the batch job instead.
+
+    Within-stream duplicates are out of scope here too (same contract as
+    the batch operator): compose with ``dropDuplicates`` + a watermark if
+    the stream itself replays ids."""
+    fp = new_docs.withColumn("__fp", F.xxhash64(F.col(text_col)))
+    return fp.join(
+        fingerprints.select(F.col("fp").alias("__fp")),
+        "__fp",
+        "left_anti",
+    ).drop("__fp")

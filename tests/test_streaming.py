@@ -259,3 +259,47 @@ def test_stream_pack_sequences_matches_batch(spark):
             .collect()
         }
         assert got == expected and len(got) == toks.count()
+
+
+def test_stream_incremental_dedup_matches_batch(spark):
+    """Streaming ingest against the persisted corpus fingerprint state:
+    a file stream carrying re-crawls of fingerprinted docs plus fresh
+    docs must keep exactly what the batch incremental_dedup keeps."""
+    import pyspark.sql.functions as F
+
+    from amr_kg_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_dedup,
+    )
+    from amr_kg_spark.streaming.stream_prep import stream_incremental_dedup
+
+    with tempfile.TemporaryDirectory() as root:
+        ind, outd, ckpt = (os.path.join(root, x) for x in ("in", "out", "ckpt"))
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus = docs.filter("doc_id % 3 = 0")
+        fps = corpus_fingerprints(corpus)
+        # incoming stream: re-crawls of corpus docs (shifted ids) + fresh
+        incoming = corpus.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        ).unionByName(docs.filter("doc_id % 3 = 1").select("doc_id", "text"))
+        incoming.filter("doc_id < 100000").coalesce(1).write.mode(
+            "append"
+        ).parquet(ind)
+        incoming.filter("doc_id >= 100000").coalesce(1).write.mode(
+            "append"
+        ).parquet(ind)
+
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ind)
+        )
+        run_available_now(
+            stream_incremental_dedup(stream, fps), outd, ckpt
+        )
+        got = {r.doc_id for r in spark.read.parquet(outd).collect()}
+        expected = {
+            r.doc_id for r in incremental_dedup(incoming, fps).collect()
+        }
+        assert got == expected
+        assert got == {r.doc_id for r in docs.filter("doc_id % 3 = 1").collect()}
