@@ -206,3 +206,32 @@ def test_bpe_encode_properties(text):
     assert sum(t.count(END_OF_WORD) for t in got) == len(
         [c for c in _pretokenize(text) if c]
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+def test_bpe_encode_ids_properties(text):
+    """For ARBITRARY unicode input the id encoder (a) never errors and
+    emits one id per bpe_encode token, (b) keeps every id inside the
+    vocab's dense range, (c) emits <unk>=0 exactly for the tokens outside
+    the vocab, and (d) with the training sample folded into the vocab,
+    training-sample text never maps to <unk>."""
+    from amr_kg_spark.operators.tokenize import (
+        bpe_encode,
+        bpe_encode_ids,
+        build_vocab,
+        merge_ranks,
+        train_bpe,
+    )
+
+    merges = train_bpe(_BPE_TRAIN, num_merges=64)
+    ranks = merge_ranks(merges)
+    vocab = build_vocab(merges, _BPE_TRAIN)
+    toks = bpe_encode(text, ranks)
+    ids = bpe_encode_ids(text, ranks, vocab)
+    assert len(ids) == len(toks)
+    assert all(0 <= i < len(vocab) for i in ids)
+    for t, i in zip(toks, ids):
+        assert (i == 0) == (t not in vocab), (t, i)
+    for sample in _BPE_TRAIN[:3]:
+        assert 0 not in bpe_encode_ids(sample, ranks, vocab)
