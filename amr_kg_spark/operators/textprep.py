@@ -567,6 +567,77 @@ def materialize_token_ids(
     )
 
 
+def _pieces_expr(budget: int, token_col: str):
+    """The per-document piece decomposition over pack_sequences output:
+    relative sequence index k covers doc tokens [k*B - off, (k+1)*B -
+    off). One struct per covering sequence: seq (absolute seq_id), start
+    (1-based slice start within the doc's token array), seq_off (offset
+    of the piece inside its sequence — k>0 pieces start at the sequence
+    head), end_excl (0-based exclusive end within the doc). Shared by
+    the materializers and :func:`sequence_pieces` (which the driver's
+    DuckDB gate replays value-exactly)."""
+    n = F.col(token_col).cast("long")
+    off = F.col("seq_offset")
+    k_max = F.floor((off + n - F.lit(1)) / F.lit(budget))
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(k_max, F.lit(0))),
+        lambda k: F.struct(
+            (F.col("seq_id") + k).alias("seq"),
+            (
+                F.when(k == 0, F.lit(1)).otherwise(
+                    k * F.lit(budget) - off + F.lit(1)
+                )
+            ).alias("start"),
+            F.when(k == 0, off).otherwise(F.lit(0)).alias("seq_off"),
+            F.least((k + 1) * F.lit(budget) - off, n).alias("end_excl"),
+        ),
+    )
+
+
+def sequence_pieces(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_bins: int = 1024,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """The coordinate-level view of sequence assembly: one row per
+    (document, covering sequence) with the exact slice arithmetic the
+    materializers execute — ``piece_idx`` (k), ``seq_id``, ``doc_start``
+    (1-based slice start in the doc's token array), ``seq_off`` (where
+    the piece lands inside its sequence) and ``piece_len``. Empty
+    documents yield no pieces. A training loader that maps sequences
+    back to source documents (provenance, loss masking, dedup audits)
+    reads this instead of re-deriving the arithmetic. Pure projection +
+    posexplode over :func:`pack_sequences` — no extra exchange."""
+    packed = pack_sequences(
+        docs,
+        budget=budget,
+        id_col=id_col,
+        token_col=token_col,
+        num_bins=num_bins,
+        shuffle_seed=shuffle_seed,
+    )
+    ex = F.posexplode(F.col("__pieces"))
+    return (
+        packed.withColumn("__pieces", _pieces_expr(budget, token_col))
+        .select(id_col, "pack_bin", ex.alias("piece_idx", "__p"))
+        .select(
+            id_col,
+            "pack_bin",
+            "piece_idx",
+            F.col("__p.seq").alias("seq_id"),
+            F.col("__p.start").alias("doc_start"),
+            F.col("__p.seq_off").alias("seq_off"),
+            (F.col("__p.end_excl") - F.col("__p.start") + F.lit(1)).alias(
+                "piece_len"
+            ),
+        )
+        .filter(F.col("piece_len") > 0)
+    )
+
+
 def _assemble_stream(
     docs: DataFrame,
     budget: int,
@@ -592,29 +663,7 @@ def _assemble_stream(
         num_bins=num_bins,
         shuffle_seed=shuffle_seed,
     )
-    n = F.col(token_col).cast("long")
-    off = F.col("seq_offset")
-    # relative sequence index k covers doc tokens [k*B - off, (k+1)*B - off)
-    k_max = F.floor((off + n - F.lit(1)) / F.lit(budget))
-    pieces = F.transform(
-        F.sequence(F.lit(0), F.greatest(k_max, F.lit(0))),
-        lambda k: F.struct(
-            (F.col("seq_id") + k).alias("seq"),
-            # 1-based slice start within the doc's token array
-            (
-                F.when(k == 0, F.lit(1)).otherwise(
-                    k * F.lit(budget) - off + F.lit(1)
-                )
-            ).alias("start"),
-            # offset of this piece inside its sequence (k>0 pieces start
-            # at the sequence head)
-            F.when(k == 0, off).otherwise(F.lit(0)).alias("seq_off"),
-            F.least(
-                (k + 1) * F.lit(budget) - off,
-                n,
-            ).alias("end_excl"),  # 0-based exclusive end within the doc
-        ),
-    )
+    pieces = _pieces_expr(budget, token_col)
     ex = F.posexplode(F.col("__pieces"))
     exploded = (
         packed.withColumn("__toks", tok_arr)

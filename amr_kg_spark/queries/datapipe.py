@@ -315,6 +315,19 @@ def q_textprep(spark, sf):
         F.col("n_tokens").cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    pieces = TP.sequence_pieces(
+        toks, budget=TP_PACK_BUDGET, num_bins=TP_PACK_BINS
+    ).select(
+        F.lit("pieces").alias("variant"), "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("piece_idx").cast("string"),
+            F.col("piece_len").cast("string"),
+        ).alias("s"),
+        F.col("seq_id").cast("long").alias("v1"),
+        F.col("doc_start").cast("long").alias("v2"),
+        F.col("seq_off").cast("long").alias("v3"),
+    )
     tr, va = TP.split_corpus(docs, val_fraction=TP_SPLIT_FRACTION)
     split = tr.select(
         F.lit("split").alias("variant"), "doc_id",
@@ -388,6 +401,7 @@ def q_textprep(spark, sf):
         .unionByName(embed)
         .unionByName(chunk)
         .unionByName(split)
+        .unionByName(pieces)
     )
 
 
@@ -949,11 +963,40 @@ SELECT 'split' AS variant, doc_id,
        CAST(NULL AS BIGINT) AS v3
 FROM ({splhashed})
 """
+    # pieces: the materializers' slice arithmetic (per-document covering
+    # sequences: seq_id, 1-based doc slice start, in-sequence offset,
+    # piece length) replayed from the same binned+cumsum CTE as pack —
+    # value-checks _assemble_stream's decomposition end-to-end
+    B = TP_PACK_BUDGET
+    pieces = f"""
+SELECT 'pieces' AS variant, doc_id,
+       CAST(k AS VARCHAR) || ':' ||
+         CAST(least((k + 1) * {B} - off, n) -
+              CASE WHEN k = 0 THEN 0 ELSE k * {B} - off END AS VARCHAR) AS s,
+       CAST(seq0 + k AS BIGINT) AS v1,
+       CAST(CASE WHEN k = 0 THEN 1 ELSE k * {B} - off + 1 END AS BIGINT) AS v2,
+       CAST(CASE WHEN k = 0 THEN off ELSE 0 END AS BIGINT) AS v3
+FROM (
+  SELECT doc_id, n_tokens AS n, cb % {B} AS off,
+         pack_bin * CAST('1099511627776' AS BIGINT) + cb // {B} AS seq0,
+         unnest(generate_series(0,
+             greatest((cb % {B} + n_tokens - 1) // {B}, 0))) AS k
+  FROM (
+    SELECT doc_id, n_tokens, pack_bin,
+           CAST(sum(n_tokens) OVER (PARTITION BY pack_bin ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS BIGINT) AS cb
+    FROM ({binned})
+  )
+)
+WHERE least((k + 1) * {B} - off, n) -
+      CASE WHEN k = 0 THEN 0 ELSE k * {B} - off END > 0
+"""
     return " UNION ALL ".join(
         f"({q})"
         for q in (
             norm, scrub, pack, sample, mix, decontam, urls, lines, embed,
-            chunk, split,
+            chunk, split, pieces,
         )
     )
 
