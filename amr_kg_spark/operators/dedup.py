@@ -754,7 +754,11 @@ def corpus_fingerprints(
       ``xxhash64(h, i)``) — ``8k`` bytes/doc, catches near-dups.
 
     Docs with no shingles (shorter than ``n`` tokens) get no minhash row
-    (nothing to match on). Fingerprints are a pure function of the text,
+    (nothing to match on). Same collision contract as the other hashed
+    operators (``decontaminate``, ``ngram_jaccard_pairs``): two DISTINCT
+    texts colliding on xxhash64 would drop a fresh doc as a re-crawl,
+    probability ~n²/2⁶⁵ across n corpus docs — accepted by design at
+    training-corpus scale. Fingerprints are a pure function of the text,
     so the table can be rebuilt or unioned across increments freely
     (``fingerprints(old) UNION fingerprints(accepted new)`` is the
     day-over-day update).

@@ -155,6 +155,12 @@ def main() -> None:
         "near-identical docs land on both sides; val shingles broadcast)",
     )
     ap.add_argument(
+        "--shard-size", type=int, default=None, metavar="N",
+        help="write the output as ORDERED training shards (range-"
+        "partitioned + sorted by (pack_bin, seq_id), at most N rows per "
+        "parquet file) instead of arbitrary task-sized files",
+    )
+    ap.add_argument(
         "--stage-dir", default=None,
         help="persist every audited stage through the lineage StageRunner "
         "(atomic publish + commit marker + lineage rows): a re-run with "
@@ -496,7 +502,13 @@ def main() -> None:
 
     for name, side in sides.items():
         dest = args.output + ("/" + name if name else "")
-        pack(side).write.mode("overwrite").parquet(dest)
+        packed = pack(side)
+        if args.shard_size is not None:
+            from amr_kg_spark.sources.files import write_training_shards
+
+            write_training_shards(packed, dest, seqs_per_file=args.shard_size)
+        else:
+            packed.write.mode("overwrite").parquet(dest)
         out = spark.read.parquet(dest)
         suffix = "_" + name if name else ""
         counts["rows_out" + suffix] = out.count()

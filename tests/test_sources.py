@@ -181,3 +181,55 @@ def test_jsonl_roundtrip_and_pruning(spark, tmp_path):
     )
     rs = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert rs and "text" not in rs[0], rs
+
+
+def test_write_training_shards_and_manifest(spark, tmp_path):
+    """Shard export: every file holds at most seqs_per_file rows, rows
+    within a file are contiguous in (pack_bin, seq_id) order, the
+    manifest reconciles exactly with the data (rows, token sums, min/max
+    ordinals), and file ordinal ranges don't interleave within a bin."""
+    import pyspark.sql.functions as F
+
+    from amr_kg_spark.operators.textprep import (
+        materialize_sequences,
+        normalize_text,
+    )
+    from amr_kg_spark.sources.files import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    docs = normalize_text(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).select("doc_id", F.col("text_norm").alias("text"))
+    seqs = materialize_sequences(docs, budget=64, token_col=None, num_bins=4)
+    out = str(tmp_path / "shards")
+    write_training_shards(seqs, out, seqs_per_file=8)
+
+    man = shard_manifest(spark, out).collect()
+    assert man and all(r.n_rows <= 8 for r in man)
+    assert sum(r.n_rows for r in man) == seqs.count()
+    assert sum(r.n_tokens for r in man) == (
+        seqs.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    # within-file contiguity: read back with file names, assert sorted
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "pack_bin", "seq_id"
+    ).collect()
+    by_file: dict = {}
+    for r in back:
+        by_file.setdefault(r.f, []).append((r.pack_bin, r.seq_id))
+    for f, rows in by_file.items():
+        assert rows == sorted(rows), f
+    # manifest ordinal ranges must not interleave across files of a bin
+    for f, rows in by_file.items():
+        bins = {b for b, _ in rows}
+        for b in bins:
+            ords = [s for bb, s in rows if bb == b]
+            lo, hi = min(ords), max(ords)
+            for g, rows2 in by_file.items():
+                if g == f:
+                    continue
+                for bb, s in rows2:
+                    if bb == b:
+                        assert not (lo < s < hi), (f, g, s)

@@ -1103,7 +1103,7 @@ def test_prep_corpus_job_split_decontam_materialize_bpe(tmp_path):
             "--min-quality", "0.0", "--min-tokens", "1",
             "--val-fraction", "0.4", "--val-decontam", "8",
             "--materialize", "--tokenizer", "bpe",
-            "--eod", "--boundaries",
+            "--eod", "--boundaries", "--shard-size", "16",
             "--bpe-merges", "48", "--bpe-sample", "40",
             "--budget", "64",
         ],
@@ -1135,3 +1135,8 @@ def test_prep_corpus_job_split_decontam_materialize_bpe(tmp_path):
         assert any(1 in s for s in seqs), "<eod> ids must be present"
         for starts in t.column("seq_doc_starts").to_pylist():
             assert starts[0] == 0
+        # --shard-size: no parquet file exceeds the per-file row cap
+        import glob
+
+        for f in glob.glob(os.path.join(out, side, "*.parquet")):
+            assert pq.read_table(f).num_rows <= 16, f
