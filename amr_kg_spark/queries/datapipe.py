@@ -208,17 +208,64 @@ def q_corpus_filter(spark, sf):
     )
 
 
+# incremental-dedup driver variant: even doc_ids play the already-accepted
+# corpus (only its FINGERPRINT state survives), odd doc_ids the new ingest
+# batch. Small signature (k=8, 4 bands of 2) keeps the staged DuckDB
+# replay tractable; the threshold sits below the 2/8-slot agreement floor
+# so borderline estimates are exercised, not just exact re-crawls.
+INCR_NUM_HASHES = 8
+INCR_BANDS = 4
+INCR_THRESHOLD = 0.25
+
+
 def q_dedup_corpus(spark, sf):
-    """Corpus-level near-dup removal end-to-end (pairs -> connected
-    components -> min-id representative -> left_anti drop) with a full
-    value oracle: DuckDB recomputes the exact pair graph and closes it
-    with a recursive CTE."""
-    return D.dedup_keep_representatives(
-        _docs(spark, sf),
+    """Corpus-level near-dup removal under ONE driver row with two
+    variants (merged-variant style like dp_textprep):
+
+    - ``keep``: end-to-end batch dedup (pairs -> connected components ->
+      min-id representative -> left_anti drop); the oracle recomputes the
+      exact pair graph and closes it with a recursive CTE.
+    - ``incr``: the incremental cross-ingest path
+      (``corpus_fingerprints`` -> banded ``incremental_matches`` with the
+      MinHash Jaccard ESTIMATE) — round-7 verdict item #7: the estimator
+      was pytest-grade only; here every est_jaccard value is replayed
+      bit-exactly in DuckDB via the string-XXH64 replica
+      (queries/xxh64_str_sql.py: signature slots min(xxhash64(sh, i)),
+      two-long band hashes, slot-agreement estimate)."""
+    docs = _docs(spark, sf)
+    keep = D.dedup_keep_representatives(
+        docs,
         n=JACCARD_N,
         threshold=JACCARD_THRESHOLD,
         method="exact",
-    ).select("doc_id", "n_chars")
+    ).select(
+        F.lit("keep").alias("variant"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(None).cast("long").alias("corpus_id"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    increment = docs.filter(F.col("doc_id") % 2 != 0)
+    fps = D.corpus_fingerprints(
+        corpus, method="minhash", n=JACCARD_N, num_hashes=INCR_NUM_HASHES
+    )
+    incr = D.incremental_matches(
+        increment,
+        fps,
+        method="minhash",
+        n=JACCARD_N,
+        num_hashes=INCR_NUM_HASHES,
+        bands=INCR_BANDS,
+        threshold=INCR_THRESHOLD,
+    ).select(
+        F.lit("incr").alias("variant"),
+        F.col("new_id").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("est_jaccard"),
+    )
+    return keep.unionByName(incr)
 
 
 def q_fingerprint(spark, sf):
@@ -437,6 +484,38 @@ def q_prep_corpus(spark, sf):
     return TP.pack_sequences(deduped, budget=2048)
 
 
+# bench-only BPE model cache: the merge table + vocab are a fixed,
+# driver-side-trained model (at 100 TB they are trained once and persisted
+# next to the corpus — tokenize.py module docstring), so the bench trains
+# them once per process and times only the distributed encode+pack plan.
+_BPE_BENCH_CACHE: dict[str, tuple] = {}
+
+
+def q_token_ids(spark, sf):
+    """Bench headline for the heaviest per-byte stage the engine owns: the
+    BPE encode inside materialize_token_ids (round-7 verdict item #1 — it
+    had correctness oracles but no wall number, so tokenizer throughput
+    had no regression guard). Full corpus -> token-id training sequences:
+    ONE Arrow encode stage below the packing exchange. Not a registry row
+    (the token-id values are oracle-checked per-sequence in
+    test_tokenize.py; the budget/packing arithmetic carries the
+    dp_textprep pack/pieces value oracles)."""
+    from ..operators import tokenize as TK
+    from ..operators.textprep import materialize_token_ids
+
+    docs = _docs(spark, sf)
+    if sf not in _BPE_BENCH_CACHE:
+        sample = TK.sample_texts(docs, n=500)
+        merges = TK.train_bpe(sample, num_merges=128)
+        vocab = TK.build_vocab(merges, sample, specials=("<unk>", "<eod>"))
+        _BPE_BENCH_CACHE[sf] = (merges, vocab)
+    merges, vocab = _BPE_BENCH_CACHE[sf]
+    return materialize_token_ids(
+        docs, budget=2048, merges=merges, vocab=vocab,
+        eod_id=vocab["<eod>"],
+    )
+
+
 # --- multimodal plumbing --------------------------------------------------------
 def q_media_features(spark, sf):
     return M.extract_features(M.synth_media(spark, sf)).select(
@@ -519,6 +598,109 @@ FROM sigs e CROSS JOIN q
 WHERE bit_count(xor(e.sig, q.qsig)) <= 1
 ORDER BY {dot_eq} / ({norm_e} * {norm_q}) DESC, e.vec_id ASC LIMIT {k}
 """
+
+
+def _incr_matches_sql() -> str:
+    """Oracle for the `incr` variant of dp_dedup_corpus: replays
+    incremental_matches(method='minhash') VALUE-exactly in DuckDB —
+    signature slots ``min(xxhash64(shingle_string, i))`` via the
+    string-XXH64 replica chained with the int-literal lane, band hashes
+    ``xxhash64(sig[2j], sig[2j+1])`` via the two-long chain, banded
+    candidate join (corpus side = even doc_ids, increment = odd), and the
+    slot-agreement Jaccard estimate. Every hash is bit-identical to
+    Spark's, so est_jaccard enters the driver's value hash."""
+    from .xxh64_sql import (
+        _as_u64,
+        signed64,
+        xxh64_int_const_steps,
+        xxh64_long_steps,
+    )
+    from .xxh64_str_sql import spark_xxhash64_str_steps
+
+    k, bands, r = INCR_NUM_HASHES, INCR_BANDS, INCR_NUM_HASHES // INCR_BANDS
+    # The staged-subquery style of xxh64_sql.stage() nests one SELECT per
+    # step; this replay chains ~300 steps (string hash + 8 slot hashes +
+    # 4 band hashes), which blows the PG-parser's nesting-depth guard
+    # ("memory exhausted"). So here every step becomes a statement-level
+    # CTE instead — same linear SQL size, FLAT parse tree — with a
+    # projection after each hash to keep SELECT * narrow.
+    ctes: list[tuple[str, str]] = []
+
+    def chain(src_name, steps, prefix, keep_cols):
+        cur = src_name
+        for idx, (name, expr) in enumerate(steps):
+            nxt = f"{prefix}_{idx}"
+            ctes.append((nxt, f"SELECT *, {expr} AS {name} FROM {cur}"))
+            cur = nxt
+        ctes.append((f"{prefix}_p", f"SELECT {', '.join(keep_cols)} FROM {cur}"))
+        return f"{prefix}_p"
+
+    # distinct shingle strings per doc -> Spark-identical string hash `sh`
+    ctes.append((
+        "shr", f"SELECT doc_id, unnest({_SHINGLES}) AS shs FROM documents"
+    ))
+    cur = chain(
+        "shr", spark_xxhash64_str_steps("shs", "sh"), "shh", ["doc_id", "sh"]
+    )
+    # slot hashes xxhash64(sh, i), i = 0..k-1 (int-literal lane chained on
+    # the long lane, exactly Spark's multi-argument semantics)
+    for i in range(k):
+        steps = xxh64_long_steps(
+            _as_u64("sh"), "CAST(42 AS UBIGINT)", f"slot{i}_h1"
+        )
+        steps += xxh64_int_const_steps(i, f"slot{i}_h1", f"slot{i}_u")
+        steps.append((f"slot{i}", signed64(f"slot{i}_u")))
+        cur = chain(
+            cur, steps, f"sl{i}",
+            ["doc_id", "sh"] + [f"slot{j}" for j in range(i + 1)],
+        )
+    mins = ", ".join(f"min(slot{i}) AS s{i}" for i in range(k))
+    ctes.append((
+        "sig_t",
+        f"SELECT doc_id, CAST(doc_id % 2 AS INT) AS side, {mins} "
+        f"FROM {cur} GROUP BY doc_id",
+    ))
+    # band hashes: one chained multi-long replay per band, unioned
+    band_names = []
+    for j in range(bands):
+        cols = [f"s{j * r + i}" for i in range(r)]
+        steps = xxh64_long_steps(
+            _as_u64(cols[0]), "CAST(42 AS UBIGINT)", f"b{j}_c0"
+        )
+        prev = f"b{j}_c0"
+        for m, c in enumerate(cols[1:], start=1):
+            steps += xxh64_long_steps(_as_u64(c), prev, f"b{j}_c{m}")
+            prev = f"b{j}_c{m}"
+        steps.append(("bh", signed64(prev)))
+        band_names.append(chain(
+            "sig_t", steps, f"bd{j}",
+            ["doc_id", "side", f"{j} AS band", "bh"],
+        ))
+    banded = " UNION ALL ".join(f"SELECT * FROM {b}" for b in band_names)
+    ctes.append(("banded", banded))
+    ctes.append((
+        "cands",
+        "SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id "
+        "FROM banded c JOIN banded i USING (band, bh) "
+        "WHERE c.side = 0 AND i.side = 1",
+    ))
+    agree = " + ".join(
+        f"CASE WHEN c.s{i} = n.s{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    ctes.append((
+        "est",
+        f"SELECT cands.new_id, cands.corpus_id, "
+        f"round(CAST(({agree}) AS DOUBLE) / {k}, 6) AS est_jaccard "
+        "FROM cands "
+        "JOIN sig_t c ON c.doc_id = cands.corpus_id "
+        "JOIN sig_t n ON n.doc_id = cands.new_id",
+    ))
+    body = ",\n".join(f"{name} AS ({sql})" for name, sql in ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT new_id, corpus_id, est_jaccard FROM est "
+        f"WHERE est_jaccard >= {INCR_THRESHOLD}"
+    )
 
 
 def _exact_jaccard_sql(threshold: float) -> str:
@@ -726,8 +908,14 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
 ),
 dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
-SELECT doc_id, n_chars FROM documents
+SELECT 'keep' AS variant, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(NULL AS BIGINT) AS corpus_id, CAST(NULL AS DOUBLE) AS est_jaccard
+FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+UNION ALL
+SELECT 'incr' AS variant, new_id AS doc_id, CAST(NULL AS BIGINT) AS n_chars,
+       corpus_id, est_jaccard
+FROM ({_incr_matches_sql()})
 """,
     "mm_media_features": (
         "SELECT doc_id AS media_id, "

@@ -246,8 +246,6 @@ def write_training_shards(
     position (the range partitioning and sort are pure functions of the
     data); file NAMES carry task UUIDs as usual — identity lives in the
     manifest, not the name."""
-    from pyspark.sql import functions as F  # noqa: F401 (parity of style)
-
     (
         seqs.repartitionByRange("pack_bin", order_col)
         .sortWithinPartitions("pack_bin", order_col)

@@ -51,6 +51,7 @@ R3_MEDIANS = {
 # recording (same 2x rule)
 LATER_MEDIANS = {
     "dp_prep_corpus": 7.15,  # round-6 recording (min-of-3 7.08/7.15/8.08)
+    "dp_token_ids": 1.05,  # round-8 first recording (min 0.896 / med 1.046)
 }
 GUARD_MEDIANS = {**R3_MEDIANS, **LATER_MEDIANS}
 GUARD_FACTOR = 2.0
@@ -73,6 +74,12 @@ HEADLINE = [
     # end-to-end corpus-prep path (normalize->scrub->filter->dedup->pack),
     # the LLM-pipeline counterpart of kg_triples (round-5 verdict item #5)
     "dp_prep_corpus",
+    # BPE token-id materialization: the heaviest per-byte stage a real
+    # 100 TB run executes — its tokens/sec is the budget line item
+    # (round-7 verdict item #1). The BPE model trains once per process
+    # (driver-side, bounded sample) before the timed passes, mirroring the
+    # train-once / persist / reuse contract at scale.
+    "dp_token_ids",
 ]
 
 
@@ -90,15 +97,18 @@ def main() -> None:
         q_minhash_native,
         q_prep_corpus,
         q_token_count,
+        q_token_ids,
     )
 
     queries, _ = all_queries()
     # benched standalone; their driver-registry surfaces live inside the
     # merged dp_minhash_pairs / dp_text_basic rows (q_prep_corpus composes
-    # operators that each carry their own registry oracle)
+    # operators that each carry their own registry oracle; q_token_ids'
+    # per-sequence values are oracle-checked in test_tokenize.py)
     queries["dp_minhash_native"] = q_minhash_native
     queries["dp_token_count"] = q_token_count
     queries["dp_prep_corpus"] = q_prep_corpus
+    queries["dp_token_ids"] = q_token_ids
     spark = get_spark(app_name="amr-kg-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -127,6 +137,18 @@ def main() -> None:
 
     times = {k: min(v) for k, v in samples.items()}
     medians = {k: _median(v) for k, v in samples.items()}
+
+    # tokenizer throughput (tokens/sec for the full encode+pack plan, on
+    # the min-of-k wall): THE budget line item of a 100 TB prep run. The
+    # token total is a pure function of (corpus, merge table) — counted
+    # once, outside the timed passes.
+    from pyspark.sql import functions as SF
+
+    bpe_tokens = (
+        queries["dp_token_ids"](spark, sf_dir)
+        .agg(SF.sum("n_tokens"))
+        .collect()[0][0]
+    )
 
     # triples/sec at this SF (the north-star metric). NOTE: at sandbox SFs
     # this wall is dominated by fixed per-job costs (scheduling, codegen,
@@ -199,6 +221,8 @@ def main() -> None:
         "cores": int(cores) if str(cores).isdigit() else cores,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / triple_wall, 2),
+        "bpe_tokens": bpe_tokens,
+        "bpe_tokens_per_sec": round(bpe_tokens / times["dp_token_ids"], 1),
         "flagship_turns_per_sec_marginal": turns_marginal,
         "flagship_marginal_fit": flagship_fit,
     }

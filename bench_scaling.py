@@ -159,6 +159,42 @@ def _run_child_one(
 
 ISOLATE_LEVELS = (4, 8, 16, 32)
 
+# --- box-condition control (round-7 verdict item #2) ---------------------
+# A FIXED-reference job executed interleaved inside every scaling window:
+# the jvm-variant flagship (regexp_extract_all, zero Python workers —
+# whole-stage codegen only, so its wall tracks raw box pricing, not the
+# worker-pool effects the scaling claim is about) at a pinned size/cores.
+# Its wall ratio vs the recorded calm baseline measures how much the
+# co-tenant window taxes THIS run, turning the historical "the box
+# degraded across days" attribution into a per-run number.
+CONTROL_CORES = 32
+CONTROL_TURNS = 6_000_000
+# Calm-window baseline: min of the round-8 certification runs (see
+# BENCH/BASELINE.md "Round-8 control"). Re-certify (and update, with
+# provenance) when the box regime shifts; a too-HIGH baseline only makes
+# the normalization conservative (price reads lower), never flattering.
+CONTROL_BASELINE_WALL = None  # set after certification below
+
+
+def _control_stats(control_walls: list[float]) -> dict:
+    """Summarize interleaved control runs into a box-price estimate.
+    price = median control wall / calm baseline (>= 1 in a taxed window);
+    the MEDIAN, not min, because the price should describe the typical
+    condition the measurement samples landed in, while min documents the
+    best moment the window offered."""
+    s = sorted(control_walls)
+    med = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+    out = {
+        "control_job": f"jvm@{CONTROL_CORES} n={CONTROL_TURNS}",
+        "control_walls": control_walls,
+        "control_min": min(s),
+        "control_median": round(med, 3),
+        "control_baseline": CONTROL_BASELINE_WALL,
+    }
+    if CONTROL_BASELINE_WALL:
+        out["box_price"] = round(med / CONTROL_BASELINE_WALL, 3)
+    return out
+
 
 def isolate(n_base: int, rounds: int) -> None:
     """The round-4 saturation-isolation experiment: separate TOPOLOGY
@@ -255,15 +291,28 @@ def isolate(n_base: int, rounds: int) -> None:
         )
 
 
-def interleaved(n_turns: int, rounds: int, lo: int = 8, hi: int = 32) -> None:
+def interleaved(
+    n_turns: int, rounds: int, lo: int = 8, hi: int = 32,
+    control: bool = False,
+) -> None:
     """The drift-robust estimator: ALTERNATE the 8- and 32-core levels at
     PER-SIZE granularity (each measurement its own pinned JVM), so both
     levels sample every co-tenant window equally. Sweep-level alternation
     proved insufficient: a whole sweep (~2-4 min) can land in one window
     and its counterpart in another, spreading the efficiency estimate
-    0.68-0.83 across otherwise-identical runs (BENCH/SCALING_RUNS.md)."""
+    0.68-0.83 across otherwise-identical runs (BENCH/SCALING_RUNS.md).
+
+    ``control=True`` additionally executes the FIXED-reference control job
+    once per (round, size) cell, interleaved with the measurements, and
+    reports the window's box price (median control wall / calm baseline)
+    plus a price-normalized efficiency — eff_norm = eff * max(1, price),
+    the explicit linear heuristic the round-7 verdict prescribed: a 0.73
+    measured in a 1.15x-priced window reads as ~0.84 normalized. Raw and
+    normalized are BOTH recorded; the normalization never replaces the
+    raw number, it annotates it with the measured window condition."""
     sizes_hi = [int(m * n_turns) for m in SIZE_MULTIPLIERS]
     walls: dict[tuple[int, int], list[float]] = {}
+    control_walls: list[float] = []
     for _ in range(rounds):
         for n_hi in sizes_hi:
             n_lo = n_hi // 2
@@ -271,6 +320,10 @@ def interleaved(n_turns: int, rounds: int, lo: int = 8, hi: int = 32) -> None:
             w_hi = _run_child_one(hi, n_hi, "udf")
             walls.setdefault((lo, n_lo), []).append(w_lo)
             walls.setdefault((hi, n_hi), []).append(w_hi)
+            if control:
+                control_walls.append(
+                    _run_child_one(CONTROL_CORES, CONTROL_TURNS, "jvm")
+                )
     out = {}
     for cores in (lo, hi):
         ns = sorted(n for c, n in walls if c == cores)
@@ -285,7 +338,8 @@ def interleaved(n_turns: int, rounds: int, lo: int = 8, hi: int = 32) -> None:
         / (hi / lo)
     )
     summary = {
-        "method": "per-size interleaved",
+        "method": "per-size interleaved"
+        + (" + box-price control" if control else ""),
         "levels": [lo, hi],
         "marginal_tps_local8": out[lo]["marginal_turns_per_sec"],
         "marginal_tps_local32": out[hi]["marginal_turns_per_sec"],
@@ -294,6 +348,13 @@ def interleaved(n_turns: int, rounds: int, lo: int = 8, hi: int = 32) -> None:
         "scaling_efficiency": round(eff, 3),
         "detail": out,
     }
+    if control:
+        cs = _control_stats(control_walls)
+        summary["control"] = cs
+        if "box_price" in cs:
+            summary["scaling_efficiency_normalized"] = round(
+                eff * max(1.0, cs["box_price"]), 3
+            )
     print(json.dumps(summary))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SCALING_RUNS.md", "a") as f:
@@ -354,10 +415,25 @@ def main() -> None:
         isolate(n, int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2")))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--interleaved":
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
-        lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-        hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-        interleaved(n, int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2")), lo, hi)
+        argv = [a for a in sys.argv[2:] if a != "--control"]
+        control = "--control" in sys.argv
+        n = int(argv[0]) if len(argv) > 0 else 6_000_000
+        lo = int(argv[1]) if len(argv) > 1 else 8
+        hi = int(argv[2]) if len(argv) > 2 else 32
+        interleaved(
+            n, int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2")),
+            lo, hi, control=control,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--certify-control":
+        # measure the control job k times back-to-back in a window the
+        # operator believes is calm; the min is the baseline candidate
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+        ws = [
+            _run_child_one(CONTROL_CORES, CONTROL_TURNS, "jvm")
+            for _ in range(k)
+        ]
+        print(json.dumps({"control_walls": ws, "min": min(ws)}))
         return
 
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000

@@ -908,6 +908,71 @@ def test_compression_ratio_matches_python_and_plan(spark):
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
 
 
+def test_xxh64_string_replica_matches_spark(spark):
+    """Branch-cover cross-check of the string-XXH64 DuckDB replica
+    directly against F.xxhash64: empty, <32-byte, exact stripe
+    boundaries, every tail shape (8/4/1-byte lanes), and multi-byte
+    UTF-8 (2/3/4-byte codepoints). The hypothesis property in
+    test_property.py covers arbitrary unicode against the pure-Python
+    reference; this pins the replica to SPARK's implementation."""
+    import duckdb
+
+    from amr_kg_spark.queries.xxh64_str_sql import spark_xxhash64_str_sql
+
+    cases = ["", "a", "abc", "é", "ψφ", "𝄞x", "naïve café über",
+             "ünïcødé ستريング мир"]
+    cases += ["x" * k for k in (7, 8, 9, 15, 16, 31, 32, 33, 40, 63, 64,
+                                65, 100)]
+    cases += ["the quick brown fox jumps over the lazy dog near the bank"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    exp = {r["i"]: r["h"] for r in df.select(
+        "i", F.xxhash64("s").alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, s VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(cases))
+    )
+    got = dict(con.execute(
+        f"SELECT i, h FROM ({spark_xxhash64_str_sql('SELECT i, s FROM t', 's', 'h')})"
+    ).fetchall())
+    assert got == exp
+
+
+def test_fit_unigram_lm_scans_corpus_once(spark):
+    """The corpus-scale token-count aggregation inside fit_unigram_lm
+    executes exactly once (round-7 verdict item #3): the counts frame is
+    persisted before the `total` action and the top-V cut reads the
+    cache. Asserted with an accumulator-instrumented RDD source — every
+    scan of the input re-runs the mapPartitions, so the accumulator
+    counts (scans x partitions)."""
+    from amr_kg_spark.operators.text import fit_unigram_lm
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def bump(it):
+        acc.add(1)
+        for x in it:
+            yield x
+
+    n_parts = 4
+    rdd = sc.parallelize(
+        [(i, "alpha beta gamma alpha delta") for i in range(40)], n_parts
+    ).mapPartitions(bump)
+    docs = spark.createDataFrame(rdd, "doc_id long, text string")
+    lm = {r.token: r.logp for r in fit_unigram_lm(docs).collect()}
+    assert acc.value == n_parts, (
+        f"corpus scanned {acc.value / n_parts:.1f}x — must be exactly once"
+    )
+    import math
+
+    assert set(lm) == {"alpha", "beta", "gamma", "delta"}
+    assert abs(lm["alpha"] - math.log(80 / 200)) < 1e-12
+    assert abs(lm["beta"] - math.log(40 / 200)) < 1e-12
+
+
 def test_unigram_lm_empty_guards(spark):
     """Round-6 ADVICE #3: an empty / token-free corpus must fail the LM
     fit loudly (sum over zero rows is NULL), and scoring under an EMPTY

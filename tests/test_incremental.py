@@ -6,11 +6,15 @@ Jaccard-ESTIMATE rerank, since the accepted text is gone by design)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from amr_kg_spark.operators.dedup import (
     corpus_fingerprints,
     incremental_dedup,
     incremental_matches,
+    minhash_pairs_native,
+    read_fingerprint_meta,
+    write_fingerprint_meta,
 )
 
 
@@ -105,6 +109,63 @@ def test_incremental_plan_shape(spark):
         assert "EvalPython" not in plan, f"{method}: must be Catalyst-only"
 
 
+def test_banding_divisibility_guards(spark):
+    """bands must divide num_hashes (round-7 verdict item #5): a remainder
+    would silently compute, shuffle and drop the tail signature slots,
+    shifting the effective banding threshold."""
+    corpus = _docs(spark, CORPUS)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_pairs_native(corpus, num_hashes=32, bands=12)
+    fps = corpus_fingerprints(corpus, method="minhash", num_hashes=16)
+    new = _docs(spark, [(101, CORPUS[0][1])])
+    with pytest.raises(ValueError, match="divide"):
+        incremental_matches(
+            new, fps, method="minhash", num_hashes=16, bands=5
+        )
+    # the valid operating point still matches the re-crawl
+    m = incremental_matches(
+        new, fps, method="minhash", num_hashes=16, bands=8
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in m} == {(101, 1)}
+
+
+def test_state_width_and_schema_validation(spark):
+    """A persisted state whose signature width differs from num_hashes
+    must raise up front — zip_with would pad with NULLs and silently
+    drop every candidate (round-7 ADVICE #1); exact-schema state passed
+    to the minhash matcher raises on the missing sig column."""
+    corpus = _docs(spark, CORPUS)
+    new = _docs(spark, [(101, CORPUS[0][1])])
+    fps16 = corpus_fingerprints(corpus, method="minhash", num_hashes=16)
+    with pytest.raises(ValueError, match="16-slot"):
+        incremental_matches(new, fps16, method="minhash")  # default k=32
+    fpe = corpus_fingerprints(corpus)  # exact (id, fp)
+    with pytest.raises(ValueError, match="sig"):
+        incremental_matches(new, fpe, method="minhash")
+
+
+def test_fingerprint_meta_sidecar(spark, tmp_path):
+    """The _meta sidecar records the parameters the state was built with
+    (round-7 ADVICE #2): readable via read_fingerprint_meta, invisible to
+    a plain parquet read of the state, absent -> None."""
+    corpus = _docs(spark, CORPUS)
+    p = str(tmp_path / "fp")
+    corpus_fingerprints(
+        corpus, method="minhash", num_hashes=16
+    ).write.parquet(p)
+    write_fingerprint_meta(
+        spark, p, "minhash", num_hashes=16, n=3, preserve_newlines=True
+    )
+    assert read_fingerprint_meta(spark, p) == {
+        "method": "minhash",
+        "num_hashes": 16,
+        "n": 3,
+        "preserve_newlines": True,
+    }
+    assert sorted(spark.read.parquet(p).columns) == ["id", "sig"]
+    assert read_fingerprint_meta(spark, str(tmp_path / "missing")) is None
+
+
 def test_prep_corpus_two_increment_flow(tmp_path):
     """The daily-ingest loop end-to-end in fresh JVMs: increment 1 emits
     the accepted corpus's fingerprint state; increment 2 carries re-crawls
@@ -176,3 +237,20 @@ def test_prep_corpus_two_increment_flow(tmp_path):
     t1, t2 = pq.read_table(fp1), pq.read_table(fp2)
     assert t1.schema.equals(t2.schema)
     assert set(t1.column_names) == {"id", "fp"}
+    # the emitted state carries the _meta sidecar (round-7 ADVICE #2)...
+    meta = pq.read_table(fp1 + "/_meta").to_pylist()[0]
+    assert meta["method"] == "exact" and meta["preserve_newlines"] is False
+    # ...and an increment run in a DIFFERENT normalization space
+    # (--dedup-lines changes preserve_newlines) is refused, not silently
+    # matched in the wrong text space
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", d2, "--output", str(tmp_path / "out3"),
+            "--min-quality", "0.0", "--min-tokens", "1", "--budget", "64",
+            "--dedup-against", fp1, "--dedup-lines", "5",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode != 0
+    assert "preserve_newlines" in (r.stderr + r.stdout)

@@ -147,6 +147,69 @@ def test_xxh64_duckdb_replica_matches_reference(vals):
         assert got2[v] == _signed(_xxh64_int(42, _xxh64_long(v, 42)))
 
 
+def _round64(acc, lane):
+    return (_rotl((acc + (lane * _P2 & _M)) & _M, 31) * _P1) & _M
+
+
+def _xxh64_bytes(b: bytes, seed: int = 42) -> int:
+    """Full reference XXH64 over a byte string (stripes + merge + tail) —
+    the algorithm Spark's F.xxhash64 applies to a StringType column's
+    UTF-8 bytes. Pure-Python oracle for the DuckDB string replica."""
+    n = len(b)
+    i = 0
+    if n >= 32:
+        v = [
+            (seed + _P1 + _P2) & _M, (seed + _P2) & _M,
+            seed & _M, (seed - _P1) & _M,
+        ]
+        while i + 32 <= n:
+            for k in range(4):
+                lane = int.from_bytes(b[i + 8 * k:i + 8 * k + 8], "little")
+                v[k] = _round64(v[k], lane)
+            i += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12)
+             + _rotl(v[3], 18)) & _M
+        for vk in v:
+            h = (((h ^ _round64(0, vk)) * _P1) + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        lane = int.from_bytes(b[i:i + 8], "little")
+        h = ((_rotl(h ^ _round64(0, lane), 27) * _P1) + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(b[i:i + 4], "little")
+        h = ((_rotl(h ^ ((lane * _P1) & _M), 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((b[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    return _fmix(h)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=120))
+def test_xxh64_string_duckdb_replica_matches_reference(text):
+    """The string-XXH64 DuckDB replica (queries/xxh64_str_sql.py — UTF-8
+    byte derivation, list_reduce stripe loop, unrolled tail) computes the
+    full reference algorithm bit-exactly for ARBITRARY unicode input —
+    the foundation of the dp_dedup_corpus `incr` value oracle. (Spark
+    agreement is covered by test_datapipe's branch-cover cross-check and
+    transitively by the driver's hash compare.)"""
+    import duckdb
+
+    from amr_kg_spark.queries.xxh64_str_sql import spark_xxhash64_str_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?)", [text])
+    got = con.execute(
+        f"SELECT h FROM ({spark_xxhash64_str_sql('SELECT * FROM t', 's', 'h')})"
+    ).fetchone()[0]
+    assert got == _signed(_xxh64_bytes(text.encode("utf-8")))
+
+
 # fixed training corpus for the BPE properties — pure Python, no Spark
 _BPE_TRAIN = [
     "the quick brown fox jumps over the lazy dog",

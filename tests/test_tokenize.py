@@ -74,6 +74,22 @@ def test_bpe_encode_greedy_equals_sequential_oracle(spark):
         assert bpe_encode(t, ranks) == _sequential_encode(t, merges), t[:80]
 
 
+def test_bpe_encode_chunk_cache_equivalence(spark):
+    """The per-worker chunk memo (round-8: the tokens/sec optimization for
+    the materialize path) is semantics-preserving: cached and uncached
+    encodings agree on every corpus text, and the cache actually fills
+    (Zipf reuse is the whole point)."""
+    texts = _corpus_texts(spark)
+    merges = train_bpe(texts, num_merges=128)
+    ranks = merge_ranks(merges)
+    cache: dict = {}
+    for t in texts:
+        assert bpe_encode(t, ranks, cache) == bpe_encode(t, ranks), t[:60]
+    assert len(cache) > 0
+    n_chunks = sum(len(_pretokenize(t)) for t in texts)
+    assert len(cache) < n_chunks, "repeated chunks must hit, not re-insert"
+
+
 def test_bpe_encode_lossless(spark):
     """Concatenating the tokens (minus end-of-word marks) reconstructs the
     text exactly — the encoder never drops or duplicates characters."""
