@@ -169,11 +169,13 @@ ISOLATE_LEVELS = (4, 8, 16, 32)
 # degraded across days" attribution into a per-run number.
 CONTROL_CORES = 32
 CONTROL_TURNS = 6_000_000
-# Calm-window baseline: min of the round-8 certification runs (see
-# BENCH/BASELINE.md "Round-8 control"). Re-certify (and update, with
-# provenance) when the box regime shifts; a too-HIGH baseline only makes
-# the normalization conservative (price reads lower), never flattering.
-CONTROL_BASELINE_WALL = None  # set after certification below
+# Calm-window baseline: min of the round-8 certification sweep
+# (2026-08-17, `--certify-control 5` -> walls 6.129/6.183/6.668/5.722/
+# 6.067; consistent with the r1-era 5.0 s and isolate-day 6.9 s records
+# for this exact job). Re-certify (and update, with provenance) when the
+# box regime shifts; a too-HIGH baseline only makes the normalization
+# conservative (price reads lower), never flattering.
+CONTROL_BASELINE_WALL = 5.722
 
 
 def _control_stats(control_walls: list[float]) -> dict:
