@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import tokens_col
+
 # Whitespace collapse class for normalize_text: \s in both Java regex and
 # DuckDB's RE2 is ASCII-only, so the unicode spaces common in crawl HTML
 # (NBSP, ogham mark, en/em/thin spaces, line/para separators, narrow
@@ -733,3 +735,118 @@ def split_corpus(
     cut = F.lit(int(val_fraction * m)).cast("long")
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
     return docs.filter(bucket >= cut), docs.filter(bucket < cut)
+
+
+# sentinels for fim_transform's PSM layout (placeholder spellings; real
+# pipelines substitute their tokenizer's reserved special tokens)
+FIM_PREFIX, FIM_SUFFIX, FIM_MIDDLE = (
+    "<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"
+)
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 4242,
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) augmentation — the document rewrite used
+    to train infilling models (Bavarian et al. 2022, "Efficient Training
+    of Language Models to Fill in the Middle"): split a document into
+    (prefix, middle, suffix) and emit it re-ordered as PSM —
+    ``<|fim_prefix|> P <|fim_suffix|> S <|fim_middle|> M`` — so the model
+    learns to generate the middle conditioned on both sides.
+
+    All randomness is the engine's deterministic-hash convention (same as
+    :func:`split_corpus` / :func:`stratified_sample`): a document is
+    transformed iff ``pmod(xxhash64(id, seed), 1000) < rate*1000``, and
+    the two split points derive from ``xxhash64(id, seed+1)`` /
+    ``xxhash64(id, seed+2)`` — a pure function of (id, rate, seed), so
+    the augmented corpus reproduces exactly across retries, resumes and
+    cluster widths, and the DuckDB oracle replays every byte via the
+    xxh64 replica. Word-token granularity here (the sandbox text model);
+    production swaps :func:`~amr_kg_spark.operators.dedup.tokens_col`
+    for character or BPE-piece offsets — the split arithmetic is
+    unchanged.
+
+    Split law for a doc with ``n >= 3`` tokens: ``prefix_len p = 1 +
+    pmod(h1, n-2)`` (1..n-2), ``middle_len m = 1 + pmod(h2, n-p-1)``
+    (1..n-p-1) — all three segments are non-empty by construction.
+    Selected docs with ``n < 3`` and unselected docs pass through
+    unchanged (``fim_applied = false``); their text is the space-joined
+    token stream, so both branches emit the same normalization space.
+
+    One projection — zero shuffles, zero UDFs; scan-side and
+    pushdown-friendly like every transform in this module.
+    """
+    toks = tokens_col(text_col)
+    sel = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000)) < int(
+        rate * 1000
+    )
+    d = docs.withColumn("__t", toks).withColumn("__n", F.size("__t"))
+    applied = sel & (F.col("__n") >= 3)
+    h1 = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col("__n") - 2
+    )
+    d = d.withColumn("__p", F.when(applied, F.lit(1) + h1))
+    h2 = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed + 2)),
+        F.col("__n") - F.col("__p") - 1,
+    )
+    d = d.withColumn("__m", F.when(applied, F.lit(1) + h2))
+    join_ = lambda c: F.array_join(c, " ")  # noqa: E731
+    # sentinels are SPACE-separated so they stand as their own tokens
+    # under both the \W+ word model and plain whitespace splitting (the
+    # materializers' convention); all three segments are non-empty, so
+    # no double spaces arise
+    psm = F.concat(
+        F.lit(FIM_PREFIX + " "),
+        join_(F.slice(F.col("__t"), F.lit(1), F.col("__p"))),
+        F.lit(" " + FIM_SUFFIX + " "),
+        join_(
+            F.slice(
+                F.col("__t"),
+                F.col("__p") + F.col("__m") + 1,
+                F.col("__n") - F.col("__p") - F.col("__m"),
+            )
+        ),
+        F.lit(" " + FIM_MIDDLE + " "),
+        join_(F.slice(F.col("__t"), F.col("__p") + 1, F.col("__m"))),
+    )
+    return d.select(
+        *docs.columns,
+        F.when(applied, psm).otherwise(join_(F.col("__t"))).alias("fim_text"),
+        applied.alias("fim_applied"),
+        F.col("__p").alias("fim_prefix_len"),
+        F.col("__m").alias("fim_middle_len"),
+    )
+
+
+def cap_per_stratum(
+    docs: DataFrame,
+    quota: int,
+    stratum_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quota cap — keep at most ``quota`` documents per
+    stratum (source/domain), preferring larger ``order_col`` (ties broken
+    by id, so the ordering is total over integers and reproduces exactly
+    in any engine). The Common-Crawl-style guard against a handful of
+    template-heavy domains dominating a training mix.
+
+    One hash-partitioned window (rank within stratum) + filter. At
+    100 TB the window shuffles once on the stratum key; a pathological
+    mega-domain concentrates its rank pass on one partition — when quota
+    << stratum size, pre-prune with an approximate per-stratum
+    ``order_col`` threshold (approx_percentile) before ranking so the
+    window only orders candidate survivors. Returns the kept rows +
+    ``stratum_rank``.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return docs.withColumn(
+        "stratum_rank", F.row_number().over(w)
+    ).filter(F.col("stratum_rank") <= quota)

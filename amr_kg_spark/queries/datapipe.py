@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import featurize as FZ
 from ..operators import multimodal as M
+from ..operators import rank as RK
 from ..operators import similarity as S
 from ..operators import text as X
 from ..operators import textprep as TP
@@ -309,6 +310,14 @@ TP_CHUNK_OVERLAP = 8
 # train/val split fraction for the `split` variant (seed = split_corpus's
 # default 777; the id-hash predicate replays bit-exactly via xxh64_sql)
 TP_SPLIT_FRACTION = 0.25
+# round-8 variants: FIM augmentation (rate/seed), per-source quota cap,
+# and the exact-rational BM25 query (terms chosen mid-frequency in the
+# synthetic vocabulary so tf/df vary across docs)
+TP_FIM_RATE = 0.5
+TP_FIM_SEED = 4242
+TP_QUOTA = 12
+TP_BM25_TERMS = ("vector", "spark", "customer")
+TP_BM25_K = 25
 
 
 def q_textprep(spark, sf):
@@ -437,6 +446,30 @@ def q_textprep(spark, sf):
         F.element_at("embedding", 2).cast("long").alias("v2"),
         F.element_at("embedding", 3).cast("long").alias("v3"),
     )
+    # round-8 variants: FIM augmentation (hash-deterministic splits via
+    # the xxh64 replica), per-source quota cap (integer-total ordering),
+    # exact-rational BM25 top-k (integer score — see operators/rank.py)
+    fim = TP.fim_transform(docs, rate=TP_FIM_RATE, seed=TP_FIM_SEED).select(
+        F.lit("fim").alias("variant"), "doc_id",
+        F.col("fim_text").alias("s"),
+        F.col("fim_applied").cast("long").alias("v1"),
+        F.col("fim_prefix_len").cast("long").alias("v2"),
+        F.col("fim_middle_len").cast("long").alias("v3"),
+    )
+    quota = TP.cap_per_stratum(docs, TP_QUOTA).select(
+        F.lit("quota").alias("variant"), "doc_id",
+        F.col("source").alias("s"),
+        F.col("stratum_rank").cast("long").alias("v1"),
+        F.col("n_chars").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    bm25 = RK.bm25_rank_exact(docs, list(TP_BM25_TERMS), k=TP_BM25_K).select(
+        F.lit("bm25").alias("variant"), "doc_id",
+        F.col("n_terms_hit").cast("string").alias("s"),
+        F.col("score_micro").cast("long").alias("v1"),
+        F.col("rank").cast("long").alias("v2"),
+        F.col("dl").cast("long").alias("v3"),
+    )
     return (
         norm.unionByName(scrub)
         .unionByName(pack)
@@ -449,6 +482,9 @@ def q_textprep(spark, sf):
         .unionByName(chunk)
         .unionByName(split)
         .unionByName(pieces)
+        .unionByName(fim)
+        .unionByName(quota)
+        .unionByName(bm25)
     )
 
 
@@ -1180,11 +1216,95 @@ FROM (
 WHERE least((k + 1) * {B} - off, n) -
       CASE WHEN k = 0 THEN 0 ELSE k * {B} - off END > 0
 """
+    # fim: the PSM rewrite replayed byte-for-byte — selection predicate
+    # and both split points via three staged xxh64(doc_id, seed+i)
+    # hashes; DuckDB's inclusive 1-based list slices mirror Spark's
+    # F.slice(start, length) per the mapping in the operator docstring
+    fim_base = (
+        f"SELECT doc_id, t, len(t) AS n FROM "
+        f"(SELECT doc_id, {_TOKS} AS t FROM documents)"
+    )
+    fh = spark_xxhash64_long_int_sql(fim_base, "doc_id", TP_FIM_SEED, "h0")
+    fh = spark_xxhash64_long_int_sql(fh, "doc_id", TP_FIM_SEED + 1, "h1")
+    fh = spark_xxhash64_long_int_sql(fh, "doc_id", TP_FIM_SEED + 2, "h2")
+    fim_cut = int(TP_FIM_RATE * 1000)
+    fim = f"""
+SELECT 'fim' AS variant, doc_id,
+       CASE WHEN applied THEN
+         '{TP.FIM_PREFIX} ' || array_to_string(t[1:p], ' ') ||
+         ' {TP.FIM_SUFFIX} ' || array_to_string(t[p+m+1:n], ' ') ||
+         ' {TP.FIM_MIDDLE} ' || array_to_string(t[p+1:p+m], ' ')
+       ELSE array_to_string(t, ' ') END AS s,
+       CAST(applied AS BIGINT) AS v1,
+       CAST(CASE WHEN applied THEN p END AS BIGINT) AS v2,
+       CAST(CASE WHEN applied THEN m END AS BIGINT) AS v3
+FROM (
+  SELECT *, CASE WHEN applied THEN 1 + {pmod('h2', '(n - p - 1)')} END AS m
+  FROM (
+    SELECT *, CASE WHEN applied THEN 1 + {pmod('h1', '(n - 2)')} END AS p
+    FROM (
+      SELECT *, {pmod('h0', 1000)} < {fim_cut} AND n >= 3 AS applied
+      FROM ({fh})
+    )
+  )
+)
+"""
+    # quota: per-source cap, integer-total ordering (n_chars desc, id)
+    quota = f"""
+SELECT 'quota' AS variant, doc_id, source AS s,
+       CAST(r AS BIGINT) AS v1, CAST(n_chars AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+)
+WHERE r <= {TP_QUOTA}
+"""
+    # bm25: the exact-rational score (operators/rank.py) — every quantity
+    # a positive integer, so DuckDB's // floor-division reproduces
+    # Spark's div bit-for-bit and the top-k ordering is total
+    terms = ", ".join(f"'{t}'" for t in TP_BM25_TERMS)
+    bm25 = f"""
+SELECT 'bm25' AS variant, doc_id, CAST(n_terms_hit AS VARCHAR) AS s,
+       CAST(score_micro AS BIGINT) AS v1, CAST(rnk AS BIGINT) AS v2,
+       CAST(dl AS BIGINT) AS v3
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM (
+    SELECT t.doc_id,
+           SUM(({RK.BM25_SCALE} * (2*s.n_docs - 2*d.df + 1) * 44 * t.tf * s.avgdl)
+               // ((2*d.df + 1) * (20*t.tf*s.avgdl + 6*s.avgdl + 18*l.dl))) AS score_micro,
+           any_value(l.dl) AS dl, count(*) AS n_terms_hit
+    FROM (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      WHERE tok IN ({terms}) GROUP BY doc_id, tok
+    ) t
+    JOIN (
+      SELECT tok, count(*) AS df
+      FROM (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        WHERE tok IN ({terms}) GROUP BY doc_id, tok
+      ) GROUP BY tok
+    ) d USING (tok)
+    JOIN (SELECT doc_id, len({_TOKS}) AS dl FROM documents) l USING (doc_id)
+    CROSS JOIN (
+      SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl
+      FROM (SELECT len({_TOKS}) AS dl FROM documents)
+    ) s
+    GROUP BY t.doc_id
+  )
+)
+WHERE rnk <= {TP_BM25_K}
+"""
     return " UNION ALL ".join(
         f"({q})"
         for q in (
             norm, scrub, pack, sample, mix, decontam, urls, lines, embed,
-            chunk, split, pieces,
+            chunk, split, pieces, fim, quota, bm25,
         )
     )
 

@@ -176,7 +176,32 @@ def main() -> None:
     ap.add_argument("--bpe-merges", type=int, default=256)
     ap.add_argument("--bpe-sample", type=int, default=2000,
                     help="lowest-id docs the BPE trainer reads (driver-side)")
+    ap.add_argument(
+        "--max-per-source", type=int, default=None, metavar="Q",
+        help="cap each source/domain at Q documents (largest cleaned "
+        "text first, ties by id — the Common-Crawl-style guard against "
+        "template-heavy domains dominating the mix); runs after "
+        "dedup/decontam, before sampling",
+    )
+    ap.add_argument(
+        "--cap-col", default="source",
+        help="stratum column for --max-per-source (default: source)",
+    )
+    ap.add_argument(
+        "--fim-rate", type=float, default=None, metavar="RATE",
+        help="fill-in-the-middle augmentation: rewrite RATE of the "
+        "TRAINING-side documents into PSM sentinel layout "
+        "(hash-deterministic selection + split points); whitespace "
+        "tokenizer only — a BPE vocab trained pre-FIM has no sentinel "
+        "merges, so token-budget packing would mis-count",
+    )
+    ap.add_argument("--fim-seed", type=int, default=4242)
     args = ap.parse_args()
+    if args.fim_rate is not None and args.tokenizer == "bpe":
+        raise SystemExit(
+            "--fim-rate requires --tokenizer whitespace (train BPE on the "
+            "FIM-transformed corpus with its sentinels as specials instead)"
+        )
     if args.eod and not (args.materialize and args.tokenizer == "bpe"):
         raise SystemExit(
             "--eod appends a reserved token id: it requires "
@@ -457,6 +482,24 @@ def main() -> None:
             spark.read.parquet(args.emit_fingerprints).count()
         )
 
+    # 5.7: per-source quota cap (optional) — after dedup/decontam (and
+    # after the fingerprint snapshot: capped-out docs were still SEEN, so
+    # a re-crawl of one must not re-enter the next increment), before
+    # sampling. Ordering is by CLEANED text length desc (ties by id) — an
+    # integer total order, so the kept set reproduces exactly anywhere.
+    if args.max_per_source is not None:
+        from amr_kg_spark.operators.textprep import cap_per_stratum
+
+        kept = checkpointed(
+            cap_per_stratum(
+                kept.withColumn("__len", F.length("text")),
+                args.max_per_source,
+                stratum_col=args.cap_col,
+                order_col="__len",
+            ).drop("__len", "stratum_rank"),
+            "after_source_cap",
+        )
+
     # 6: deterministic mix (rate-based or token-budget-based)
     if args.sample:
         kept = checkpointed(
@@ -515,6 +558,34 @@ def main() -> None:
         sides = {"train": train, "val": val}
     else:
         sides = {"": toks}
+
+    # 6.7: FIM augmentation (optional) — TRAINING side only (the val set
+    # must measure plain language modeling), after the split so the
+    # rewrite can't leak across it; token counts are recomputed on the
+    # transformed text (the sentinels tokenize, so they count against
+    # the packing budget exactly as they will at training time)
+    if args.fim_rate is not None:
+        from amr_kg_spark.operators.textprep import fim_transform
+
+        for side_name in list(sides):
+            if side_name == "val":
+                continue
+            fimmed = checkpointed(
+                fim_transform(
+                    sides[side_name], rate=args.fim_rate, seed=args.fim_seed
+                ),
+                "after_fim" + ("_" + side_name if side_name else ""),
+            )
+            counts["fim_rewritten"] = fimmed.filter(
+                F.col("fim_applied")
+            ).count()
+            sides[side_name] = (
+                fimmed.drop(
+                    "text", "fim_applied", "fim_prefix_len", "fim_middle_len"
+                )
+                .withColumnRenamed("fim_text", "text")
+                .withColumn("n_tokens", F.size(tokens_col("text")))
+            )
 
     # 7: pack into training sequences — coordinates by default, or the
     # assembled budget-token sequences themselves with --materialize

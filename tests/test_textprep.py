@@ -1164,3 +1164,63 @@ def test_prep_corpus_job_split_decontam_materialize_bpe(tmp_path):
             os.path.basename(f) for f in man.column("file").to_pylist()
         }
         assert man_files == data_files
+
+
+def test_prep_corpus_job_fim_and_source_cap(tmp_path):
+    """Round-8 job wiring: --max-per-source caps each source at Q docs
+    BEFORE sampling (audit count bounded by Q x n_sources), and
+    --fim-rate rewrites a fraction of the TRAINING side only into PSM
+    sentinel layout after the split — the val side must stay sentinel-
+    free (it measures plain language modeling), while the train side's
+    materialized sequences carry the sentinel tokens."""
+    import glob
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    out = str(tmp_path / "packed")
+    quota = 8
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", f"{SF_SMALL}/documents.parquet",
+            "--output", out,
+            "--min-quality", "0.0", "--min-tokens", "1",
+            "--max-per-source", str(quota),
+            "--val-fraction", "0.3",
+            "--fim-rate", "0.6", "--fim-seed", "99",
+            "--materialize", "--budget", "64",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    # the cap ran after dedup, bounded by quota x distinct sources (20
+    # sources in the sf0.001 fixture), and dropped something
+    assert 0 < stats["after_source_cap"] <= quota * 20
+    assert stats["after_source_cap"] < stats["after_dedup"]
+    assert stats["rows_train"] + stats["rows_val"] == stats["after_source_cap"]
+    assert stats["fim_rewritten"] > 0
+    # sentinels tokenize to 'fim_prefix'/'fim_suffix'/'fim_middle' word
+    # tokens: present on the train side, absent from val
+    def side_tokens(side):
+        toks = set()
+        for f in glob.glob(os.path.join(out, side, "*.parquet")):
+            for seq in pq.read_table(f).column("seq_tokens").to_pylist():
+                toks.update(seq)
+        return toks
+
+    from amr_kg_spark.operators.textprep import FIM_PREFIX
+
+    assert FIM_PREFIX in side_tokens("train")
+    assert FIM_PREFIX not in side_tokens("val")
