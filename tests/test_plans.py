@@ -198,3 +198,18 @@ def test_aqe_empty_relation_early_exit(spark):
     assert "LocalTableScan" in executed or "EmptyRelation" in executed, (
         "AQE should have replaced the join with an empty relation"
     )
+
+
+def test_bm25_plan_topk_and_no_cartesian(spark):
+    """bm25_rank_exact: the final top-k must execute as
+    TakeOrderedAndProject (per-partition heaps, no global sort shuffle),
+    the one-row stats cross-join must be a broadcast, never a cartesian,
+    and the whole score pipeline stays JVM-side (no Python eval)."""
+    from amr_kg_spark.operators.rank import bm25_rank_exact
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = bm25_rank_exact(docs, ["vector", "spark", "customer"], k=25)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
