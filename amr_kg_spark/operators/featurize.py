@@ -261,3 +261,50 @@ def score_quality(
         sq > 0, dot / F.sqrt(sq) + F.lit(float(weights[dim]))
     ).otherwise(F.lit(float(weights[dim])))
     return scored.withColumn(out_col, logit).drop("__e")
+
+
+def cluster_balanced_sample(
+    docs: DataFrame,
+    n_clusters: int = 8,
+    per_cluster: int = 100,
+    dim: int = 32,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Topic-balanced corpus subsetting (the SemDeDup / cluster-then-
+    sample recipe): embed every document with the deterministic
+    featurizer, cluster the embedding space (KMeans, seeded), then keep
+    at most ``per_cluster`` documents from each cluster — picked in
+    ``xxhash64(id, seed)`` order, the engine's deterministic stand-in
+    for random choice — so no single mode of the corpus dominates the
+    sample. Composition of three existing primitives: featurize_text →
+    fit_ivf's quantizer → cap_per_stratum over the cluster id.
+
+    Returns the kept documents + ``cluster`` + ``stratum_rank``
+    (1..per_cluster within cluster).
+
+    Scale shape: featurize is one projection; KMeans fits on a bounded
+    sample (``fit_fraction`` inside fit_ivf at real scale) and
+    assignment is one map; the cap is one hash-partitioned window on
+    the cluster key. Determinism: the featurizer is stateless, KMeans
+    is seeded over a deterministic frame, and the pick order is a pure
+    function of (id, seed) — the sample reproduces across cluster
+    widths and reruns."""
+    from pyspark.sql import functions as F
+
+    from .similarity import fit_ivf
+    from .textprep import cap_per_stratum
+
+    emb = featurize_text(docs, dim=dim, text_col=text_col)
+    _, assigned = fit_ivf(emb, n_clusters=n_clusters, seed=seed)
+    picked = cap_per_stratum(
+        assigned.withColumn(
+            "__pick", F.xxhash64(F.col(id_col), F.lit(seed))
+        ),
+        per_cluster,
+        stratum_col="cluster",
+        order_col="__pick",
+        id_col=id_col,
+    )
+    return picked.drop("__pick", "embedding")

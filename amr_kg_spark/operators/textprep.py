@@ -823,6 +823,98 @@ def fim_transform(
     )
 
 
+PMI_SCALE = 1_000_000
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information — the corpus-analysis primitive behind stop-phrase
+    lists, tokenizer-merge sanity checks and boilerplate discovery
+    ("which word pairs co-occur far above chance?").
+
+    Same exact-rational convention as :mod:`~amr_kg_spark.operators.
+    rank`: PMI = ln(p(ab) / (p(a)p(b))) is monotone in the rational
+    ``c_ab * N² / (B * c_a * c_b)`` (N = total tokens, B = total
+    bigrams), so the ORDERING uses the scaled integer floor
+    ``pmi_ratio_micro = (SCALE * c_ab * N * N) div (B * c_a * c_b)`` —
+    reproducible bit-for-bit in any engine, no float ``ln``. Callers
+    wanting the nats value can take ``ln(pmi_ratio_micro / SCALE)``.
+
+    ``min_count`` floors the bigram count (raw PMI is maximized by
+    hapax pairs — the standard guard). Returns
+    ``(w1, w2, c_ab, c_a, c_b, pmi_ratio_micro, rank)``.
+
+    Scale shape: one explode → partial-aggregated groupBy for bigrams,
+    one for unigrams; the unigram table joins back by word key (two
+    shuffle equi-joins — at 100 TB both sides are Zipf-bounded vocab
+    tables, far smaller than the corpus); corpus totals are one tiny
+    aggregate broadcast back; final top-k is TakeOrderedAndProject.
+    """
+    t = tokens_col(text_col)
+    d = docs.select(t.alias("__t")).select(
+        F.col("__t"), F.size("__t").alias("__n")
+    )
+    # adjacent pairs: element i with i+1 (empty for docs with < 2 tokens;
+    # sequence(1, 0) would count DOWN, hence the explicit guard)
+    pairs = d.select(
+        F.explode(
+            F.when(
+                F.col("__n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("w1"),
+                        F.element_at("__t", (i + 1).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        docs.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_tokens"),
+    ).crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_bigrams"))))
+    scored = (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b"), "w2")
+        .crossJoin(F.broadcast(totals))
+        # numerator and denominator are DECIMAL(38,0): the raw products
+        # overflow int64 well below real corpus sizes (N² alone does).
+        # The QUOTIENT is what must fit int64 (`div` returns long and
+        # wraps silently past 2^63): bounded by SCALE*N/min_count
+        # (since B ≈ N and c_a,c_b >= c_ab >= min_count), i.e. ~1e6*N —
+        # fine to ~10^12-token corpora; beyond that drop SCALE to 1e3
+        .withColumn(
+            "pmi_ratio_micro",
+            F.expr(
+                f"(CAST({PMI_SCALE} AS DECIMAL(38,0)) * c_ab * n_tokens"
+                " * n_tokens)"
+                " div (CAST(n_bigrams AS DECIMAL(38,0)) * c_a * c_b)"
+            ),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("pmi_ratio_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("pmi_ratio_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "w1", "w2", "c_ab", "c_a", "c_b", "pmi_ratio_micro", "rank"
+    )
+
+
 def cap_per_stratum(
     docs: DataFrame,
     quota: int,

@@ -150,3 +150,78 @@ def test_cap_per_stratum_bounds_and_preference(spark):
         assert sorted(r.stratum_rank for r in rows) == list(
             range(1, len(rows) + 1)
         )
+
+
+def test_pmi_collocations_matches_duckdb(spark):
+    """Exact-rational PMI ordering replayed in DuckDB (HUGEINT floor
+    division) — counts, scaled ratio and rank all value-equal."""
+    import duckdb
+
+    from amr_kg_spark.operators.textprep import PMI_SCALE, pmi_collocations
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = [
+        (r.w1, r.w2, r.c_ab, r.c_a, r.c_b, r.pmi_ratio_micro, r.rank)
+        for r in pmi_collocations(docs, min_count=5, k=40).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    toks = r"list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"
+    exp = con.execute(f"""
+WITH t AS (SELECT doc_id, {toks} AS t, len({toks}) AS n FROM documents),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM t, (SELECT unnest(generate_series(1, 100000)) AS i) s
+  WHERE n >= 2 AND i <= n - 1
+),
+big AS (SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT unnest(t) AS w FROM t
+),
+unic AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM uni) AS n_tokens,
+         (SELECT count(*) FROM pairs) AS n_bigrams
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, c.c AS c_b,
+         CAST((CAST({PMI_SCALE} AS HUGEINT) * b.c_ab * t.n_tokens * t.n_tokens)
+              // (CAST(t.n_bigrams AS HUGEINT) * a.c * c.c) AS BIGINT)
+           AS pmi_ratio_micro
+  FROM big b
+  JOIN unic a ON a.w = b.w1
+  JOIN unic c ON c.w = b.w2
+  CROSS JOIN tot t
+  WHERE b.c_ab >= 5
+)
+SELECT w1, w2, c_ab, c_a, c_b, pmi_ratio_micro,
+       row_number() OVER (ORDER BY pmi_ratio_micro DESC, w1, w2) AS rank
+FROM scored
+ORDER BY rank LIMIT 40
+""").fetchall()
+    assert sorted(got, key=lambda x: x[-1]) == [tuple(r) for r in exp]
+    assert len(got) > 0
+
+
+def test_cluster_balanced_sample_bounds_and_determinism(spark):
+    from amr_kg_spark.operators.featurize import cluster_balanced_sample
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    per = 7
+    a = cluster_balanced_sample(docs, n_clusters=4, per_cluster=per).collect()
+    by_cluster = {}
+    for r in a:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert all(len(v) <= per for v in by_cluster.values())
+    assert len(by_cluster) > 1, "sample must span multiple clusters"
+    assert all(
+        sorted(x.stratum_rank for x in v) == list(range(1, len(v) + 1))
+        for v in by_cluster.values()
+    )
+    b = cluster_balanced_sample(docs, n_clusters=4, per_cluster=per).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    ids = {r.doc_id for r in a}
+    assert ids <= {r.doc_id for r in docs.select("doc_id").collect()}
