@@ -318,6 +318,11 @@ TP_FIM_SEED = 4242
 TP_QUOTA = 12
 TP_BM25_TERMS = ("vector", "spark", "customer")
 TP_BM25_K = 25
+# pmi: top-k adjacent-bigram collocations by the exact-rational PMI
+# ordering (operators/textprep.py pmi_collocations); min_count guards
+# against hapax-pair blowup, k bounds the TakeOrdered
+TP_PMI_MIN_COUNT = 5
+TP_PMI_K = 40
 
 
 def q_textprep(spark, sf):
@@ -470,6 +475,21 @@ def q_textprep(spark, sf):
         F.col("rank").cast("long").alias("v2"),
         F.col("dl").cast("long").alias("v3"),
     )
+    # pmi: collocation ranks play doc_id; the unigram counts pack into
+    # one long (both < 1e6 at driver scale; the oracle computes the
+    # identical expression so the packing is compared, not decoded)
+    pmi = TP.pmi_collocations(
+        docs, min_count=TP_PMI_MIN_COUNT, k=TP_PMI_K
+    ).select(
+        F.lit("pmi").alias("variant"),
+        F.col("rank").cast("long").alias("doc_id"),
+        F.concat_ws(" ", "w1", "w2").alias("s"),
+        F.col("pmi_ratio_micro").cast("long").alias("v1"),
+        F.col("c_ab").cast("long").alias("v2"),
+        (F.col("c_a") * F.lit(1_000_000) + F.col("c_b"))
+        .cast("long")
+        .alias("v3"),
+    )
     return (
         norm.unionByName(scrub)
         .unionByName(pack)
@@ -485,6 +505,7 @@ def q_textprep(spark, sf):
         .unionByName(fim)
         .unionByName(quota)
         .unionByName(bm25)
+        .unionByName(pmi)
     )
 
 
@@ -1300,11 +1321,50 @@ FROM (
 )
 WHERE rnk <= {TP_BM25_K}
 """
+    # pmi: the exact-rational collocation ordering — Spark's DECIMAL(38,0)
+    # products with int64 `div` quotients replay as HUGEINT products with
+    # `//` (proven equal in tests/test_rank.py); adjacent pairs come from
+    # two aligned slice-unnests (t[1:n-1] ∥ t[2:n])
+    pmi = f"""
+SELECT 'pmi' AS variant, CAST(rnk AS BIGINT) AS doc_id,
+       w1 || ' ' || w2 AS s, pmi_ratio_micro AS v1,
+       CAST(c_ab AS BIGINT) AS v2,
+       CAST(c_a * 1000000 + c_b AS BIGINT) AS v3
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_ratio_micro DESC, w1, w2) AS rnk
+  FROM (
+    WITH pairs AS (
+      SELECT unnest(t[1:n-1]) AS w1, unnest(t[2:n]) AS w2
+      FROM (SELECT {_TOKS} AS t, len({_TOKS}) AS n FROM documents)
+      WHERE n >= 2
+    ),
+    unic AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM unic) AS n_tokens,
+             (SELECT count(*) FROM pairs) AS n_bigrams
+    )
+    SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, c.c AS c_b,
+           CAST((CAST({TP.PMI_SCALE} AS HUGEINT) * b.c_ab * t.n_tokens
+                 * t.n_tokens)
+                // (CAST(t.n_bigrams AS HUGEINT) * a.c * c.c) AS BIGINT)
+             AS pmi_ratio_micro
+    FROM (SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY w1, w2) b
+    JOIN unic a ON a.w = b.w1
+    JOIN unic c ON c.w = b.w2
+    CROSS JOIN tot t
+    WHERE b.c_ab >= {TP_PMI_MIN_COUNT}
+  )
+)
+WHERE rnk <= {TP_PMI_K}
+"""
     return " UNION ALL ".join(
         f"({q})"
         for q in (
             norm, scrub, pack, sample, mix, decontam, urls, lines, embed,
-            chunk, split, pieces, fim, quota, bm25,
+            chunk, split, pieces, fim, quota, bm25, pmi,
         )
     )
 
