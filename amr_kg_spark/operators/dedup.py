@@ -1011,3 +1011,173 @@ def incremental_dedup(
         n, num_hashes, bands, threshold,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_docs.join(hits, id_col, "left_anti")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the substring-level member of the
+    dedup family (document level: :func:`dedup_keep_representatives`;
+    line level: :func:`dedup_lines`). Any run of >= ``k`` consecutive
+    whitespace tokens that occurs more than once CORPUS-WIDE survives
+    only at its first occurrence (ordered by ``(id, position)``); every
+    other occurrence is cut and the document is rebuilt from its
+    surviving tokens. This is the ExactSubstr policy of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed for Catalyst: their suffix array finds byte-level
+    duplicated substrings; fixed-``k`` token fingerprints find the same
+    regions (a duplicated region of L >= k tokens is exactly a maximal
+    run of L-k+1 duplicated k-grams, whose removal intervals merge back
+    into the full region below), at the cost of ignoring duplicates
+    shorter than ``k`` tokens — the published policy too (their edit
+    threshold is 50 BPE tokens).
+
+    Differences from the reference policy, both deterministic and
+    documented rather than accidental: (1) tokens are ``\\s+``-split —
+    matching is whitespace-insensitive and the rebuilt text is the
+    space-joined surviving token stream (run BEFORE packing/tokenization,
+    where the token stream, not raw bytes, is the unit); (2) when the
+    copies of a k-gram OVERLAP (``"a a a a"`` with k=2), the keeper is
+    still only the single first k-gram, so degenerate self-repeats
+    collapse slightly harder than a suffix array would.
+
+    Adds ``out_col`` (space-joined surviving tokens — for UNTOUCHED docs
+    too, so the column is uniformly whitespace-normalized),
+    ``n_tokens_kept``, ``n_tokens_removed`` and ``n_spans_removed``.
+    Docs shorter than ``k`` tokens have no fingerprints and are never
+    cut. Same xxhash64 collision contract as every hashed operator here
+    (two distinct k-grams colliding ~ n^2/2^65).
+
+    Scale shape (the reference implementation is a single-machine suffix
+    array over the whole corpus — inherently not distributable): one
+    fingerprint projection inside the scan (tokens materialized once,
+    hashes computed BEFORE the exchange so the only wide shuffle moves
+    ``(id, pos, hash)`` longs); the duplicate-detection groupBy is a
+    MAP-SIDE-COMBINABLE ``(count, min(struct))`` aggregate, so a
+    boilerplate span repeated across 10^9 pages reduces inside every map
+    task (same reasoning as :func:`dedup_lines` — no row_number window
+    on the hottest keys); removal intervals (the duplicated subset only,
+    tiny by definition for a mostly-unique corpus) merge per-doc with one
+    gaps-and-islands window; the rebuild is a single join back to the
+    docs plus O(tokens + islands) array arithmetic — the full corpus is
+    never exploded a second time."""
+    from ..session import fan_out
+
+    if k < 2:
+        raise ValueError(f"span width k must be >= 2, got {k}")
+
+    ws = r"\s+"
+    base = fan_out(docs).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), ws), lambda t: t != ""
+        ).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+
+    # (id, pos, xxhash64(k-gram)) for every 0-based start position
+    grams = base.filter(F.col("__n") >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - F.lit(k)),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("__toks", i + F.lit(1), k), " ")
+                ),
+            )
+        ).alias("__pos", "__h"),
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col("__pos").alias("pos")
+                )
+            ).alias("__keep"),
+        )
+        .filter(F.col("__cnt") >= 2)
+    )
+    removals = (
+        grams.join(dup, "__h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__keep.id"))
+                & (F.col("__pos") == F.col("__keep.pos"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.col("__pos").alias("__s"),
+            (F.col("__pos") + F.lit(k - 1)).alias("__e"),
+        )
+    )
+
+    # gaps-and-islands: merge overlapping/adjacent removal intervals
+    w = Window.partitionBy(id_col).orderBy("__s")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    cuts = (
+        removals.withColumn("__pmax", F.max("__e").over(prev))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__pmax").isNull()
+                | (F.col("__s") > F.col("__pmax") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__isl")
+        .agg(F.min("__s").alias("s"), F.max("__e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("__cuts"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("__cut_toks"),
+            F.count("*").alias("__nspans"),
+        )
+    )
+
+    # rebuild: surviving tokens = the gaps between cuts — O(n + islands)
+    # slices, no per-position explode (gap j spans [gs_j, ge_j] 0-based,
+    # gs = 0 then e_i + 1, ge = s_i - 1 then n - 1)
+    joined = base.join(cuts, id_col, "left")
+    gs = F.concat(
+        F.array(F.lit(0)),
+        F.transform(F.col("__cuts"), lambda c: c["e"] + F.lit(1)),
+    )
+    ge = F.concat(
+        F.transform(F.col("__cuts"), lambda c: c["s"] - F.lit(1)),
+        F.array(F.col("__n") - F.lit(1)),
+    )
+    kept = F.when(F.col("__cuts").isNull(), F.col("__toks")).otherwise(
+        F.flatten(
+            F.zip_with(
+                gs,
+                ge,
+                lambda a, b: F.slice(
+                    "__toks", a + F.lit(1), F.greatest(b - a + F.lit(1), F.lit(0))
+                ),
+            )
+        )
+    )
+    rebuilt = joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(out_col),
+        F.size(kept).alias("n_tokens_kept"),
+        F.coalesce(F.col("__cut_toks"), F.lit(0))
+        .cast("int")
+        .alias("n_tokens_removed"),
+        F.coalesce(F.col("__nspans"), F.lit(0))
+        .cast("int")
+        .alias("n_spans_removed"),
+    )
+    return docs.join(rebuilt, id_col, "left")

@@ -323,6 +323,11 @@ TP_BM25_K = 25
 # against hapax-pair blowup, k bounds the TakeOrdered
 TP_PMI_MIN_COUNT = 5
 TP_PMI_K = 40
+# spans: ExactSubstr duplicated-span removal (operators/dedup.py
+# remove_duplicate_spans); k=8 because the synthetic docs are short
+# (prod: 50, the Lee et al. 2021 threshold) — 24 docs carry duplicated
+# 8-token spans at both driver scales
+TP_SPANS_K = 8
 
 
 def q_textprep(spark, sf):
@@ -490,6 +495,15 @@ def q_textprep(spark, sf):
         .cast("long")
         .alias("v3"),
     )
+    # spans: ExactSubstr duplicated-span removal — full rebuilt text plus
+    # the removed/kept token accounting in the value hash
+    spans = D.remove_duplicate_spans(docs, k=TP_SPANS_K).select(
+        F.lit("spans").alias("variant"), "doc_id",
+        F.col("text_deduped").alias("s"),
+        F.col("n_tokens_removed").cast("long").alias("v1"),
+        F.col("n_spans_removed").cast("long").alias("v2"),
+        F.col("n_tokens_kept").cast("long").alias("v3"),
+    )
     return (
         norm.unionByName(scrub)
         .unionByName(pack)
@@ -506,6 +520,7 @@ def q_textprep(spark, sf):
         .unionByName(quota)
         .unionByName(bm25)
         .unionByName(pmi)
+        .unionByName(spans)
     )
 
 
@@ -1360,11 +1375,84 @@ FROM (
 )
 WHERE rnk <= {TP_PMI_K}
 """
+    # spans: ExactSubstr duplicated-span removal — the same
+    # first-occurrence + gaps-and-islands formulation the operator uses,
+    # over k-gram STRINGS (Spark shuffles xxhash64(k-gram) longs; same
+    # hash-vs-string equivalence as the lines/decontam oracles).
+    # Whitespace tokens, NOT {{_TOKS}}: matching must preserve
+    # case/punctuation so the rebuilt text round-trips
+    wtoks = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+    spans = f"""
+SELECT 'spans' AS variant, t.doc_id,
+       coalesce(re.txt, t.joined) AS s,
+       CAST(coalesce(re.removed, 0) AS BIGINT) AS v1,
+       CAST(coalesce(re.nspans, 0) AS BIGINT) AS v2,
+       CAST(t.n - coalesce(re.removed, 0) AS BIGINT) AS v3
+FROM (
+  SELECT doc_id, len(t) AS n, array_to_string(t, ' ') AS joined
+  FROM (SELECT doc_id, {wtoks} AS t FROM documents)
+) t
+LEFT JOIN (
+  WITH rem AS (
+    SELECT doc_id, pos AS s, pos + {TP_SPANS_K - 1} AS e
+    FROM (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(t[i:i+{TP_SPANS_K - 1}], ' ') AS g
+        FROM (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - {TP_SPANS_K} + 1)) AS i
+          FROM (SELECT doc_id, {wtoks} AS t FROM documents)
+          WHERE len(t) >= {TP_SPANS_K}
+        )
+      )
+    ) WHERE rn >= 2
+  ),
+  cuts AS (
+    SELECT doc_id, min(s) AS s, max(e) AS e
+    FROM (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), -2) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM rem
+      )
+    ) GROUP BY doc_id, isl
+  ),
+  posl AS (
+    SELECT doc_id, unnest(t) AS tok,
+           unnest(generate_series(1, len(t))) AS p
+    FROM (SELECT doc_id, {wtoks} AS t FROM documents)
+  )
+  SELECT c.doc_id, coalesce(kp.txt, '') AS txt, c.removed, c.nspans
+  FROM (
+    SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed,
+           count(*) AS nspans
+    FROM cuts GROUP BY doc_id
+  ) c
+  LEFT JOIN (
+    SELECT posl.doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+    FROM posl
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cuts c2
+      WHERE c2.doc_id = posl.doc_id AND posl.p - 1 BETWEEN c2.s AND c2.e
+    )
+    GROUP BY posl.doc_id
+  ) kp USING (doc_id)
+) re ON re.doc_id = t.doc_id
+"""
     return " UNION ALL ".join(
         f"({q})"
         for q in (
             norm, scrub, pack, sample, mix, decontam, urls, lines, embed,
-            chunk, split, pieces, fim, quota, bm25, pmi,
+            chunk, split, pieces, fim, quota, bm25, pmi, spans,
         )
     )
 

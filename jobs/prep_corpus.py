@@ -196,6 +196,22 @@ def main() -> None:
         "merges, so token-budget packing would mis-count",
     )
     ap.add_argument("--fim-seed", type=int, default=4242)
+    ap.add_argument(
+        "--dedup-spans", type=int, default=None, metavar="K",
+        help="ExactSubstr duplicated-span removal (Lee et al. 2021): any "
+        "run of >= K tokens occurring more than once corpus-wide "
+        "survives only at its first occurrence; runs after line dedup, "
+        "before document-level dedup (prod: K=50)",
+    )
+    ap.add_argument(
+        "--cluster-balance", type=int, default=None, metavar="K",
+        help="SemDeDup-style topic balancing: featurize -> seeded KMeans "
+        "with K clusters -> keep at most --cluster-cap docs per cluster "
+        "(deterministic xxhash64(id, seed) pick order); runs after the "
+        "per-source quota, before sampling",
+    )
+    ap.add_argument("--cluster-cap", type=int, default=1000, metavar="M")
+    ap.add_argument("--cluster-seed", type=int, default=42)
     args = ap.parse_args()
     if args.fim_rate is not None and args.tokenizer == "bpe":
         raise SystemExit(
@@ -332,6 +348,28 @@ def main() -> None:
         kept = deduped.drop("text", "n_lines_dropped").withColumnRenamed(
             "text_deduped", "text"
         )
+
+    # 3.6: duplicated-span removal (optional) — ExactSubstr: runs of
+    # >= K tokens occurring more than once corpus-wide survive only at
+    # their first (id, position) occurrence (Lee et al. 2021), cut BEFORE
+    # document-level dedup so repeated boilerplate spans can't hold
+    # near-dup similarity up between otherwise-distinct documents. Like
+    # line dedup, the cleaning is corpus-dependent by design; the rebuilt
+    # text is the space-joined surviving token stream (newlines — already
+    # consumed by line dedup when both flags are set — do not survive).
+    if args.dedup_spans is not None:
+        from amr_kg_spark.operators.dedup import remove_duplicate_spans
+
+        spanned = checkpointed(
+            remove_duplicate_spans(kept, k=args.dedup_spans),
+            "after_span_dedup",
+        )
+        counts["span_tokens_removed"] = int(
+            spanned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+        )
+        kept = spanned.drop(
+            "text", "n_tokens_kept", "n_tokens_removed", "n_spans_removed"
+        ).withColumnRenamed("text_deduped", "text")
 
     # 3.7: cheap-LM quality cut (optional) — fit a unigram LM on the
     # surviving corpus, drop the least corpus-typical tail by mean token
@@ -498,6 +536,24 @@ def main() -> None:
                 order_col="__len",
             ).drop("__len", "stratum_rank"),
             "after_source_cap",
+        )
+
+    # 5.8: cluster-balanced subsetting (optional) — SemDeDup-style topic
+    # balancing over the deterministic featurizer's embedding space:
+    # seeded KMeans, then at most --cluster-cap docs per cluster picked
+    # in xxhash64(id, seed) order, so no single content mode dominates
+    # the mix regardless of how skewed the crawl is
+    if args.cluster_balance is not None:
+        from amr_kg_spark.operators.featurize import cluster_balanced_sample
+
+        kept = checkpointed(
+            cluster_balanced_sample(
+                kept,
+                n_clusters=args.cluster_balance,
+                per_cluster=args.cluster_cap,
+                seed=args.cluster_seed,
+            ).drop("cluster", "stratum_rank"),
+            "after_cluster_balance",
         )
 
     # 6: deterministic mix (rate-based or token-budget-based)

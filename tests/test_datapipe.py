@@ -1025,3 +1025,68 @@ def test_dedup_keep_representatives_pairs_validation(spark):
         D.dedup_keep_representatives(docs, pairs=bad)
     kept = {r.doc_id for r in D.dedup_keep_representatives(docs, pairs=pairs).collect()}
     assert kept == {1, 3}
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """ExactSubstr policy on planted fixtures: a cross-doc duplicated
+    region keeps only its first occurrence and the overlapping k-gram
+    intervals merge back into one cut; self-repeats keep the first copy;
+    sub-k docs are untouched; overlapping degenerate repeats collapse to
+    the single keeper k-gram."""
+    from amr_kg_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two beta gamma delta epsilon three"),
+            (3, "x y"),
+            (4, "p q r junk1 junk2 p q r end"),
+            (5, "a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=3).collect()}
+    # doc 1 is the first occurrence: nothing cut
+    assert out[1].text_deduped == "alpha beta gamma delta epsilon zeta"
+    assert out[1].n_tokens_removed == 0 and out[1].n_spans_removed == 0
+    # doc 2: duplicated 3-grams at pos 2 and 3 -> merged cut [2,5]
+    assert out[2].text_deduped == "one two three"
+    assert out[2].n_tokens_removed == 4 and out[2].n_spans_removed == 1
+    # shorter than k: no fingerprints
+    assert out[3].text_deduped == "x y" and out[3].n_tokens_removed == 0
+    # within-doc repeat: first copy kept
+    assert out[4].text_deduped == "p q r junk1 junk2 end"
+    assert out[4].n_tokens_removed == 3 and out[4].n_spans_removed == 1
+    # overlapping copies: keeper is the single first k-gram (documented)
+    k2 = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, k=2).collect()
+    }
+    assert k2[5].text_deduped == "a a"[:3] or k2[5].text_deduped == "a"
+    assert k2[5].n_tokens_kept + k2[5].n_tokens_removed == 5
+
+
+def test_remove_duplicate_spans_whitespace_and_guard(spark):
+    """Matching is whitespace-insensitive (tab/multi-space copies are
+    still exact duplicates) and the rebuilt column is uniformly
+    space-joined; k < 2 raises."""
+    import pytest as _pytest
+
+    from amr_kg_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the  quick\tbrown fox stop1 one"),
+            (2, "intro the quick brown fox body two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=4).collect()}
+    # "the quick brown fox" matches across whitespace variants; doc 1
+    # (lower id) keeps it, doc 2 loses it
+    assert out[1].text_deduped == "the quick brown fox stop1 one"
+    assert out[1].n_tokens_removed == 0
+    assert out[2].text_deduped == "intro body two"
+    assert out[2].n_tokens_removed == 4 and out[2].n_spans_removed == 1
+    with _pytest.raises(ValueError):
+        remove_duplicate_spans(docs, k=1)

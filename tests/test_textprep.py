@@ -1224,3 +1224,44 @@ def test_prep_corpus_job_fim_and_source_cap(tmp_path):
 
     assert FIM_PREFIX in side_tokens("train")
     assert FIM_PREFIX not in side_tokens("val")
+
+
+def test_prep_corpus_job_span_dedup_and_cluster_balance(tmp_path):
+    """Round-8 job wiring: --dedup-spans cuts corpus-wide duplicated
+    K-token spans (keeping every document — the stage removes text, not
+    rows) and --cluster-balance caps each KMeans cluster of the
+    embedding space, bounding the corpus at K x cap documents."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    out = str(tmp_path / "packed")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", f"{SF_SMALL}/documents.parquet",
+            "--output", out,
+            "--min-quality", "0.0", "--min-tokens", "1",
+            "--dedup-spans", "8",
+            "--cluster-balance", "4", "--cluster-cap", "5",
+            "--budget", "64",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    # span dedup drops TOKENS, never rows (the sf0.001 fixture carries
+    # duplicated 8-token spans in ~24 docs)
+    assert stats["after_span_dedup"] == stats["after_filter"]
+    assert stats["span_tokens_removed"] > 0
+    # the cluster cap bounds the corpus at n_clusters x cap
+    assert 0 < stats["after_cluster_balance"] <= 4 * 5
+    assert stats["after_cluster_balance"] < stats["after_dedup"]
