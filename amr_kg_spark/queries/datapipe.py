@@ -588,6 +588,18 @@ def q_token_ids(spark, sf):
     )
 
 
+def q_span_dedup(spark, sf):
+    """Bench headline for ExactSubstr duplicated-span removal
+    (operators/dedup.py remove_duplicate_spans) at the production span
+    width (k=50, the Lee et al. 2021 threshold): fingerprint explode +
+    map-side-combinable duplicate detection + gaps-and-islands cut +
+    slice-arithmetic rebuild over the full corpus. Not a registry row —
+    its values are oracle-checked by the dp_textprep `spans` variant
+    (k=8 there: the driver fixtures are short)."""
+    docs = _docs(spark, sf)
+    return D.remove_duplicate_spans(docs, k=50)
+
+
 # --- multimodal plumbing --------------------------------------------------------
 def q_media_features(spark, sf):
     return M.extract_features(M.synth_media(spark, sf)).select(

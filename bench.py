@@ -52,6 +52,9 @@ R3_MEDIANS = {
 LATER_MEDIANS = {
     "dp_prep_corpus": 7.15,  # round-6 recording (min-of-3 7.08/7.15/8.08)
     "dp_token_ids": 1.05,  # round-8 first recording (min 0.896 / med 1.046)
+    # round-8 first recording (min 1.641 / med 1.855, same run that set
+    # the 12.68 s shared-11 record)
+    "dp_span_dedup": 1.855,
 }
 GUARD_MEDIANS = {**R3_MEDIANS, **LATER_MEDIANS}
 GUARD_FACTOR = 2.0
@@ -80,6 +83,9 @@ HEADLINE = [
     # (driver-side, bounded sample) before the timed passes, mirroring the
     # train-once / persist / reuse contract at scale.
     "dp_token_ids",
+    # ExactSubstr duplicated-span removal at the production width (k=50):
+    # the corpus-wide substring dedup stage (round 8)
+    "dp_span_dedup",
 ]
 
 
@@ -96,6 +102,7 @@ def main() -> None:
     from amr_kg_spark.queries.datapipe import (
         q_minhash_native,
         q_prep_corpus,
+        q_span_dedup,
         q_token_count,
         q_token_ids,
     )
@@ -109,6 +116,7 @@ def main() -> None:
     queries["dp_token_count"] = q_token_count
     queries["dp_prep_corpus"] = q_prep_corpus
     queries["dp_token_ids"] = q_token_ids
+    queries["dp_span_dedup"] = q_span_dedup
     spark = get_spark(app_name="amr-kg-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -232,6 +240,8 @@ def main() -> None:
     regressions = {}
     if sf == "0.1" and str(cores) == "32":
         for name, base in GUARD_MEDIANS.items():
+            if base is None:  # first recording not yet taken
+                continue
             if name in times and times[name] > GUARD_FACTOR * base:
                 regressions[name] = {"min": times[name], "baseline_median": base}
     if regressions:

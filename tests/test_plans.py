@@ -213,3 +213,29 @@ def test_bm25_plan_topk_and_no_cartesian(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_span_dedup_plan_shape(spark):
+    """remove_duplicate_spans: the whole pipeline stays JVM-side (token
+    fingerprints are Catalyst xxhash64, no Python eval), nothing goes
+    cartesian, the duplicate-detection aggregate is a hash aggregate on
+    the gram hash (map-side combinable — not a row_number window over
+    the hottest keys), and the corpus is exploded exactly once (the
+    rebuild is slice arithmetic, not a second Generate over the docs)."""
+    from amr_kg_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = remove_duplicate_spans(docs, k=8)
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "HashAggregate" in final
+    # the single fingerprint posexplode appears in BOTH branches of the
+    # detection/marking self-join (the two exchanges hash the same key
+    # but have different inputs, so there is nothing for ReuseExchange
+    # to reuse) — exactly 2 Generate nodes in the tree, and none of them
+    # in the rebuild, which is slice arithmetic over the un-exploded docs
+    tree = final.split("\n\n")[0]
+    assert tree.count("Generate") == 2
