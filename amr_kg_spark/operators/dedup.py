@@ -833,19 +833,25 @@ def write_fingerprint_meta(
     num_hashes: int = 32,
     n: int = 3,
     preserve_newlines: bool = False,
+    spans_k: int | None = None,
 ) -> None:
     """Persist the parameters a :func:`corpus_fingerprints` table was built
     with as a one-row parquet sidecar at ``<path>/_meta`` (the underscore
     prefix keeps it invisible to ``spark.read.parquet(path)`` — the same
     hidden-file convention as the shard manifest). Fingerprints are pure
     functions of (normalized text, method, n, num_hashes): an increment
-    run that normalizes differently (``preserve_newlines``) or hashes with
-    different parameters fingerprints in a DIFFERENT space, so re-crawls
-    silently pass dedup — the sidecar makes the mismatch detectable
-    (round-7 ADVICE #2)."""
+    run that normalizes differently (``preserve_newlines``), cleans
+    differently (``spans_k`` — duplicated-span removal rewrites the text
+    before fingerprinting), or hashes with different parameters
+    fingerprints in a DIFFERENT space, so re-crawls silently pass dedup —
+    the sidecar makes the mismatch detectable (round-7 ADVICE #2)."""
     spark.createDataFrame(
-        [(method, int(num_hashes), int(n), bool(preserve_newlines))],
-        "method string, num_hashes int, n int, preserve_newlines boolean",
+        [(
+            method, int(num_hashes), int(n), bool(preserve_newlines),
+            None if spans_k is None else int(spans_k),
+        )],
+        "method string, num_hashes int, n int, preserve_newlines boolean, "
+        "spans_k int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 

@@ -462,6 +462,17 @@ def main() -> None:
                     "silently miss re-crawls; match --dedup-lines between "
                     "increments or rebuild the state"
                 )
+            # same-space check for duplicated-span removal (it rewrites
+            # the text before fingerprinting); sidecars written before
+            # the field existed don't carry it and fall through
+            if "spans_k" in meta and meta["spans_k"] != args.dedup_spans:
+                raise SystemExit(
+                    "--dedup-against state was fingerprinted with "
+                    f"--dedup-spans={meta['spans_k']} but this run uses "
+                    f"--dedup-spans={args.dedup_spans} — the two text "
+                    "spaces differ; match the flag between increments or "
+                    "rebuild the state"
+                )
         else:
             fp_method = "minhash" if "sig" in state.columns else "exact"
         kept = checkpointed(
@@ -515,6 +526,7 @@ def main() -> None:
         write_fingerprint_meta(
             spark, args.emit_fingerprints, fp_method, num_hashes=fp_k,
             n=fp_n, preserve_newlines=args.dedup_lines is not None,
+            spans_k=args.dedup_spans,
         )
         counts["fingerprints_emitted"] = (
             spark.read.parquet(args.emit_fingerprints).count()

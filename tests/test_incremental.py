@@ -161,6 +161,7 @@ def test_fingerprint_meta_sidecar(spark, tmp_path):
         "num_hashes": 16,
         "n": 3,
         "preserve_newlines": True,
+        "spans_k": None,
     }
     assert sorted(spark.read.parquet(p).columns) == ["id", "sig"]
     assert read_fingerprint_meta(spark, str(tmp_path / "missing")) is None
@@ -254,3 +255,16 @@ def test_prep_corpus_two_increment_flow(tmp_path):
     )
     assert r.returncode != 0
     assert "preserve_newlines" in (r.stderr + r.stdout)
+    # ...as is an increment whose --dedup-spans setting differs from the
+    # state's (span removal rewrites the text before fingerprinting)
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
+            "--input", d2, "--output", str(tmp_path / "out4"),
+            "--min-quality", "0.0", "--min-tokens", "1", "--budget", "64",
+            "--dedup-against", fp1, "--dedup-spans", "8",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode != 0
+    assert "dedup-spans" in (r.stderr + r.stdout)
