@@ -308,3 +308,175 @@ def cluster_balanced_sample(
         id_col=id_col,
     )
     return picked.drop("__pick", "embedding")
+
+
+# --- DSIR importance resampling -------------------------------------------
+# Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much more likely its
+# hashed-n-gram stream is under a TARGET corpus' bucket unigram model than
+# under the raw corpus' own, then resample the raw corpus toward the
+# target distribution. The public recipe, re-derived for Catalyst:
+#
+#   bucket(g)  = pmod(xxhash64(g), B) over the unigram+bigram stream
+#   w[b]       = ln p_target(b) - ln p_raw(b)   (add-alpha smoothed)
+#   w(doc)     = sum over the doc's gram stream of w[bucket]
+#   keep       = Gumbel top-n on w(doc) (sampling proportional to
+#                exp(w), derandomized via xxhash64(id, seed))
+#
+# Weights are SCALED INTEGERS (micro-nats): the fit happens once
+# driver-side from two B-row histograms, and scoring/selection — the part
+# that touches 100 TB — is integer-exact, so any engine replays every
+# score bit-for-bit (the same exactness contract as BM25/PMI).
+
+DSIR_BUCKETS = 4096
+DSIR_SCALE = 1_000_000
+
+
+def _dsir_bucket_stream(toks_col: str, num_buckets: int) -> F.Column:
+    """Bucket ids of the unigram+bigram stream over a MATERIALIZED token
+    array column (same binding discipline as with_word_shingles: the
+    token split must not re-evaluate per gram)."""
+    toks = F.col(toks_col)
+    n2 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.slice(toks, 2, n2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.transform(
+        F.concat(toks, bigrams),
+        lambda g: F.pmod(F.xxhash64(g), F.lit(num_buckets)),
+    )
+
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    num_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> list[int]:
+    """The corpus' hashed-gram bucket histogram, collected driver-side —
+    ``num_buckets`` longs, the entire fitted state DSIR needs per corpus.
+    One explode + map-side-combinable groupBy over at most B keys; the
+    collect is B rows regardless of corpus size."""
+    from ..session import fan_out
+
+    from .dedup import tokens_col as _tc
+
+    base = fan_out(docs).withColumn("__toks", _tc(text_col))
+    rows = (
+        base.select(
+            F.explode(_dsir_bucket_stream("__toks", num_buckets)).alias("__b")
+        )
+        .groupBy("__b")
+        .count()
+        .collect()
+    )
+    counts = [0] * num_buckets
+    for r in rows:
+        counts[int(r["__b"])] = int(r["count"])
+    return counts
+
+
+def fit_dsir_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    num_buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> list[int]:
+    """Per-bucket importance log-weights in MICRO-NATS (scaled integers):
+    ``w[b] = round(1e6 * (ln p_target(b) - ln p_raw(b)))`` with add-alpha
+    smoothing. Fitting reads each corpus once (its B-bucket histogram);
+    at 100 TB pass a bounded sample of the raw side — the estimator only
+    needs the bucket DISTRIBUTION, not the corpus."""
+    ct = dsir_bucket_counts(target, num_buckets, text_col)
+    cr = dsir_bucket_counts(raw, num_buckets, text_col)
+    nt, nr = sum(ct), sum(cr)
+    if nt == 0 or nr == 0:
+        raise ValueError("empty gram stream in DSIR fit corpus")
+    import math
+
+    denom_t = nt + alpha * num_buckets
+    denom_r = nr + alpha * num_buckets
+    return [
+        round(
+            DSIR_SCALE
+            * (
+                math.log((ct[b] + alpha) / denom_t)
+                - math.log((cr[b] + alpha) / denom_r)
+            )
+        )
+        for b in range(num_buckets)
+    ]
+
+
+def dsir_score(
+    docs: DataFrame,
+    weights: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "dsir_logweight",
+) -> DataFrame:
+    """Per-document importance log-weight (micro-nats): the sum of
+    ``weights[bucket]`` over the doc's gram stream — integer-exact, so
+    replayable bit-for-bit anywhere. Gram-free documents score 0 (no
+    distributional evidence).
+
+    Scale shape: the bucket hashes are computed inside the scan (no
+    Python), the B-row weight table broadcasts, and the only exchange is
+    the per-doc sum — (id, weight) longs."""
+    spark = docs.sparkSession
+    from ..session import fan_out
+
+    from .dedup import tokens_col as _tc
+
+    num_buckets = len(weights)
+    wdf = spark.createDataFrame(
+        [(b, int(w)) for b, w in enumerate(weights)], "__b long, __w long"
+    )
+    base = fan_out(docs).withColumn("__toks", _tc(text_col))
+    sums = (
+        base.select(
+            F.col(id_col),
+            F.explode(_dsir_bucket_stream("__toks", num_buckets)).alias(
+                "__b"
+            ),
+        )
+        .join(F.broadcast(wdf), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias(out_col))
+    )
+    return docs.join(sums, id_col, "left").na.fill({out_col: 0})
+
+
+def dsir_select(
+    docs: DataFrame,
+    weights: list[int],
+    n: int,
+    seed: int = 1234,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance RESAMPLING via the Gumbel-max trick: keep the ``n``
+    documents maximizing ``w(doc) + g_id`` where ``g_id`` is a standard
+    Gumbel derived deterministically from ``xxhash64(id, seed)`` — an
+    exact derandomized sample proportional to ``exp(w)``, the paper's
+    sampling rule, reproducible across engines, runs and retries. The
+    top-n executes as TakeOrderedAndProject (per-partition heaps, no
+    global sort shuffle). Ties (astronomically unlikely on the
+    continuous key) break by id for full determinism."""
+    m = 1 << 40
+    scored = dsir_score(docs, weights, text_col, id_col)
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+        + F.lit(0.5)
+    ) / F.lit(float(m))
+    key = F.col("dsir_logweight") / F.lit(float(DSIR_SCALE)) - F.log(
+        -F.log(u)
+    )
+    return (
+        scored.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__key")
+    )

@@ -212,6 +212,19 @@ def main() -> None:
     )
     ap.add_argument("--cluster-cap", type=int, default=1000, metavar="M")
     ap.add_argument("--cluster-seed", type=int, default=42)
+    ap.add_argument(
+        "--dsir-target", default=None, metavar="DIR",
+        help="DSIR importance resampling (Xie et al. 2023): fit "
+        "hashed-bigram bucket LMs on DIR (the target corpus parquet) vs "
+        "THIS corpus, then keep the --dsir-keep documents by Gumbel "
+        "top-n on the integer importance log-weight — a deterministic "
+        "sample proportional to exp(w) that skews the mix toward the "
+        "target distribution; runs after the per-source/cluster caps, "
+        "before sampling",
+    )
+    ap.add_argument("--dsir-keep", type=int, default=None, metavar="N")
+    ap.add_argument("--dsir-seed", type=int, default=1234)
+    ap.add_argument("--dsir-buckets", type=int, default=4096)
     args = ap.parse_args()
     if args.fim_rate is not None and args.tokenizer == "bpe":
         raise SystemExit(
@@ -225,6 +238,8 @@ def main() -> None:
         )
     if args.boundaries and not args.materialize:
         raise SystemExit("--boundaries requires --materialize")
+    if args.dsir_target is not None and args.dsir_keep is None:
+        raise SystemExit("--dsir-target requires --dsir-keep N")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -566,6 +581,27 @@ def main() -> None:
                 seed=args.cluster_seed,
             ).drop("cluster", "stratum_rank"),
             "after_cluster_balance",
+        )
+
+    # 5.9: DSIR importance resampling (optional) — skew the surviving
+    # corpus toward a target distribution: two B-bucket histograms fit
+    # driver-side, integer micro-nat weights broadcast, Gumbel top-n
+    # selection (deterministic sampling proportional to exp(w))
+    if args.dsir_target is not None:
+        from amr_kg_spark.operators.featurize import (
+            dsir_select,
+            fit_dsir_weights,
+        )
+
+        tgt = spark.read.parquet(args.dsir_target)
+        dsir_w = fit_dsir_weights(
+            tgt, kept, num_buckets=args.dsir_buckets
+        )
+        kept = checkpointed(
+            dsir_select(
+                kept, dsir_w, n=args.dsir_keep, seed=args.dsir_seed
+            ).drop("dsir_logweight"),
+            "after_dsir",
         )
 
     # 6: deterministic mix (rate-based or token-budget-based)

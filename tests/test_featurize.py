@@ -301,3 +301,129 @@ def test_prep_corpus_quality_classifier_stage(tmp_path):
     assert len(junk_dropped) / len(dropped) >= 0.7, (
         f"dropped tail must be junk-heavy: {sorted(dropped)}"
     )
+
+
+def _dsir_fixture(spark):
+    """Target = physics prose; raw = a physics/cooking mix. Vocabulary is
+    disjoint across topics so the bucket histograms separate cleanly."""
+    phys = [
+        "quantum field theory lattice gauge simulation energy spectrum",
+        "boson fermion lattice spin operator hamiltonian ground state",
+        "gauge symmetry breaking energy operator quantum spectrum",
+    ]
+    cook = [
+        "butter flour sugar oven bake whisk dough golden crust",
+        "simmer onion garlic broth season taste ladle serve warm",
+    ]
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phys)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(phys + cook + cook)],
+        "doc_id long, text string",
+    )
+    return target, raw
+
+
+def test_dsir_weights_separate_topics(spark):
+    """fit_dsir_weights + dsir_score: documents from the target topic
+    outscore off-topic documents; gram-free documents score exactly 0."""
+    from amr_kg_spark.operators.featurize import (
+        dsir_score,
+        fit_dsir_weights,
+    )
+
+    target, raw = _dsir_fixture(spark)
+    w = fit_dsir_weights(target, raw, num_buckets=512)
+    assert all(isinstance(x, int) for x in w)
+    probe = spark.createDataFrame(
+        [
+            (1, "lattice gauge operator quantum energy"),
+            (2, "bake dough butter oven crust"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_score(probe, w).collect()
+    }
+    assert got[1] > got[2]
+    assert got[3] == 0
+
+
+def test_dsir_score_matches_duckdb(spark):
+    """Integer-exact replay: DuckDB derives the same unigram+bigram
+    stream, hashes every gram through the bit-exact string-XXH64 replica,
+    buckets with pmod, joins the same weight table and sums — every
+    document's dsir_logweight must match Spark's to the last micro-nat."""
+    from amr_kg_spark.operators.featurize import (
+        dsir_score,
+        fit_dsir_weights,
+    )
+    from amr_kg_spark.queries.xxh64_sql import pmod, signed64
+    from amr_kg_spark.queries.xxh64_str_sql import spark_xxhash64_str_steps
+
+    target, raw = _dsir_fixture(spark)
+    buckets = 256
+    w = fit_dsir_weights(target, raw, num_buckets=buckets)
+    got = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_score(raw, w, out_col="dsir_logweight").collect()
+    }
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", raw.toPandas())
+    con.register(
+        "wt", pd.DataFrame({"b": range(buckets), "w": w})
+    )
+    # flat CTE chain for the string hash (the staged-subquery style blows
+    # the parser depth — same workaround as the incr-matches oracle)
+    ctes = [(
+        "grams",
+        f"SELECT doc_id, unnest(t) AS g FROM (SELECT doc_id, {_TOKS} AS t FROM documents) "
+        "UNION ALL "
+        "SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i + 1])) AS g "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents) WHERE len(t) >= 2",
+    )]
+    cur = "grams"
+    for idx, (name, expr) in enumerate(spark_xxhash64_str_steps("g", "gh")):
+        ctes.append((f"s{idx}", f"SELECT *, {expr} AS {name} FROM {cur}"))
+        cur = f"s{idx}"
+    sql = (
+        "WITH " + ", ".join(f"{n} AS ({q})" for n, q in ctes)
+        + f", bk AS (SELECT doc_id, {pmod(signed64('gh'), buckets)} AS b FROM {cur}) "
+        "SELECT bk.doc_id, CAST(coalesce(sum(wt.w), 0) AS BIGINT) "
+        "FROM bk JOIN wt ON wt.b = bk.b GROUP BY bk.doc_id"
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], d
+
+
+def test_dsir_select_deterministic(spark):
+    """Gumbel top-n: reproducible across invocations, n respected, and
+    the kept set skews toward the target distribution (mean importance
+    of kept > mean of dropped)."""
+    from amr_kg_spark.operators.featurize import (
+        dsir_score,
+        dsir_select,
+        fit_dsir_weights,
+    )
+
+    target, raw = _dsir_fixture(spark)
+    w = fit_dsir_weights(target, raw, num_buckets=512)
+    n = 4
+    a = sorted(r.doc_id for r in dsir_select(raw, w, n=n, seed=7).collect())
+    b = sorted(r.doc_id for r in dsir_select(raw, w, n=n, seed=7).collect())
+    assert a == b and len(a) == n
+    scores = {
+        r.doc_id: r.dsir_logweight for r in dsir_score(raw, w).collect()
+    }
+    kept = [scores[d] for d in a]
+    dropped = [s for d, s in scores.items() if d not in a]
+    assert sum(kept) / len(kept) > sum(dropped) / len(dropped)

@@ -1229,12 +1229,16 @@ def test_prep_corpus_job_fim_and_source_cap(tmp_path):
 def test_prep_corpus_job_span_dedup_and_cluster_balance(tmp_path):
     """Round-8 job wiring: --dedup-spans cuts corpus-wide duplicated
     K-token spans (keeping every document — the stage removes text, not
-    rows) and --cluster-balance caps each KMeans cluster of the
-    embedding space, bounding the corpus at K x cap documents."""
+    rows), --cluster-balance caps each KMeans cluster of the embedding
+    space (bounding the corpus at K x cap documents), and --dsir-target
+    resamples the survivors down to --dsir-keep docs toward the target
+    distribution."""
     import json
     import os
     import subprocess
     import sys
+
+    import pyarrow.parquet as pq
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {
@@ -1242,6 +1246,12 @@ def test_prep_corpus_job_span_dedup_and_cluster_balance(tmp_path):
         "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
     }
     out = str(tmp_path / "packed")
+    # target corpus for DSIR: the first 30 documents of the fixture
+    tdir = tmp_path / "target"
+    tdir.mkdir()
+    t = pq.read_table(f"{SF_SMALL}/documents.parquet")
+    pq.write_table(t.slice(0, 30), str(tdir / "part.parquet"))
+    dsir_keep = 8
     r = subprocess.run(
         [
             sys.executable, os.path.join(repo, "jobs", "prep_corpus.py"),
@@ -1250,6 +1260,7 @@ def test_prep_corpus_job_span_dedup_and_cluster_balance(tmp_path):
             "--min-quality", "0.0", "--min-tokens", "1",
             "--dedup-spans", "8",
             "--cluster-balance", "4", "--cluster-cap", "5",
+            "--dsir-target", str(tdir), "--dsir-keep", str(dsir_keep),
             "--budget", "64",
         ],
         capture_output=True, text=True, env=env, timeout=600,
@@ -1265,3 +1276,7 @@ def test_prep_corpus_job_span_dedup_and_cluster_balance(tmp_path):
     # the cluster cap bounds the corpus at n_clusters x cap
     assert 0 < stats["after_cluster_balance"] <= 4 * 5
     assert stats["after_cluster_balance"] < stats["after_dedup"]
+    # DSIR keeps exactly n (the cap survives the resample)
+    assert stats["after_dsir"] == min(
+        dsir_keep, stats["after_cluster_balance"]
+    )
