@@ -360,9 +360,7 @@ def dsir_bucket_counts(
     collect is B rows regardless of corpus size."""
     from ..session import fan_out
 
-    from .dedup import tokens_col as _tc
-
-    base = fan_out(docs).withColumn("__toks", _tc(text_col))
+    base = fan_out(docs).withColumn("__toks", tokens_col(text_col))
     rows = (
         base.select(
             F.explode(_dsir_bucket_stream("__toks", num_buckets)).alias("__b")
@@ -428,13 +426,11 @@ def dsir_score(
     spark = docs.sparkSession
     from ..session import fan_out
 
-    from .dedup import tokens_col as _tc
-
     num_buckets = len(weights)
     wdf = spark.createDataFrame(
         [(b, int(w)) for b, w in enumerate(weights)], "__b long, __w long"
     )
-    base = fan_out(docs).withColumn("__toks", _tc(text_col))
+    base = fan_out(docs).withColumn("__toks", tokens_col(text_col))
     sums = (
         base.select(
             F.col(id_col),
