@@ -75,7 +75,13 @@ def bm25_rank_exact(
     # per-doc length table (dl); computed once, reused by tf join
     lengths = docs.select(F.col(id_col), F.size(toks).alias("dl"))
     # corpus stats: one tiny row, broadcast-cross-joined (stays in-plan —
-    # no driver collect, so the operator composes lazily)
+    # no driver collect, so the operator composes lazily). This compiles
+    # to a BroadcastNestedLoopJoin over a ONE-ROW broadcast aggregate:
+    # Spark's idiomatic scalar-attach plan (a constant equi-join key
+    # would be constant-folded straight back to it) — per-row cost
+    # identical to a hash join against a single row. The driver-row plan
+    # gate verifies structurally that every BNLJ in the merged plan is
+    # exactly this shape.
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).select("n_docs", F.expr("total_dl div n_docs").alias("avgdl"))

@@ -881,6 +881,10 @@ def pmi_collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # corpus totals: one-row aggregates, broadcast-cross-joined — the
+    # same deliberate scalar-attach shape as bm25_rank_exact's stats row
+    # (one-row-broadcast BNLJ; structurally verified by the driver-row
+    # plan gate)
     totals = uni.agg(
         F.sum("c").alias("n_tokens"),
     ).crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_bigrams"))))

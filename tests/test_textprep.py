@@ -994,14 +994,35 @@ def test_dp_textprep_driver_row_plan_gates(spark):
     benchmark shingles broadcast."""
     from amr_kg_spark.queries.datapipe import q_textprep
 
+    import re
+
     df = q_textprep(spark, SF_SMALL)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan, "no per-row Python anywhere"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # BroadcastNestedLoopJoin is allowed ONLY as the scalar-attach shape
+    # (the bm25 stats row and the pmi totals: a ONE-ROW broadcast
+    # aggregate cross-joined in-plan — Spark's idiomatic compilation, a
+    # constant equi-key would be folded straight back to it). Verify
+    # structurally: every BNLJ's build side must be a BroadcastExchange
+    # whose input columns are exactly the known corpus-stat scalars.
+    blocks = {}
+    for b in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) (\w+)", b)
+        if m:
+            blocks[int(m.group(1))] = (m.group(2), b)
+    allowed = {"n_docs", "avgdl", "n_tokens", "n_bigrams"}
+    bnlj = [i for i, (n, _) in blocks.items()
+            if n == "BroadcastNestedLoopJoin"]
+    assert bnlj, "expected the bm25/pmi scalar-attach joins"
+    for i in bnlj:
+        name, body = blocks[i - 1]
+        assert name == "BroadcastExchange", (i, name)
+        cols = set(re.findall(r"(\w+)#\d+", body))
+        assert cols <= allowed, (i, cols)
 
 
 def test_materialize_sequences_shuffled_epoch_order(spark):
