@@ -418,7 +418,14 @@ def test_dsir_select_deterministic(spark):
     target, raw = _dsir_fixture(spark)
     w = fit_dsir_weights(target, raw, num_buckets=512)
     n = 4
-    a = sorted(r.doc_id for r in dsir_select(raw, w, n=n, seed=7).collect())
+    sel = dsir_select(raw, w, n=n, seed=7)
+    plan = sel._sc._jvm.PythonSQLUtils.explainString(
+        sel._jdf.queryExecution(), "formatted"
+    )
+    # the top-n must be per-partition heaps, not a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    a = sorted(r.doc_id for r in sel.collect())
     b = sorted(r.doc_id for r in dsir_select(raw, w, n=n, seed=7).collect())
     assert a == b and len(a) == n
     scores = {
