@@ -1301,3 +1301,66 @@ def test_prep_corpus_job_span_dedup_and_cluster_balance(tmp_path):
     assert stats["after_dsir"] == min(
         dsir_keep, stats["after_cluster_balance"]
     )
+
+
+def test_corpus_report_job(tmp_path):
+    """jobs/corpus_report.py end-to-end: the four report tables land, the
+    JSON summary reconciles with the input (row total, quality histogram
+    partitions the corpus) and the known exact-duplicate docs in the
+    fixture give a non-zero dup rate."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    out = str(tmp_path / "report")
+    # plant 5 exact re-crawls (fresh ids, identical text) so the dup
+    # rates have known support — the sf0.001 fixture is 500 distinct
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{SF_SMALL}/documents.parquet")
+    dup = t.slice(0, 5).set_column(
+        t.schema.get_field_index("doc_id"), "doc_id",
+        pc.add(t.slice(0, 5).column("doc_id"), 1_000_000),
+    )
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    pq.write_table(
+        pa.concat_tables([t, dup]), str(indir / "part.parquet")
+    )
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "corpus_report.py"),
+            "--input", str(indir),
+            "--output", out, "--top-k", "10",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    n_in = t.num_rows + 5
+    assert summary["rows"] == n_in
+    assert summary["total_tokens"] > 0 and summary["strata"] >= 1
+    # the quality histogram partitions the corpus exactly
+    assert sum(
+        v for k, v in summary.items() if k.startswith("quality_")
+    ) == n_in
+    # the sf0.001 fixture carries exact-duplicate documents
+    assert 0 < summary["exact_dup_rate"] < 1
+    assert summary["neardup_prefix_rate"] >= summary["exact_dup_rate"]
+    # report tables exist and reconcile
+    stats = pq.read_table(os.path.join(out, "stats")).to_pylist()
+    assert sum(s["n_docs"] for s in stats) == n_in
+    tt = pq.read_table(os.path.join(out, "top_tokens")).to_pylist()
+    assert {t["by"] for t in tt} == {"df", "tf"}
+    assert len(tt) == 20
