@@ -45,7 +45,6 @@ def main() -> None:
     ap.add_argument("--top-k", type=int, default=30)
     ap.add_argument("--approx", action="store_true",
                     help="approx_percentile quantiles (bounded memory)")
-    ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
 
