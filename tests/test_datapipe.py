@@ -1090,3 +1090,66 @@ def test_remove_duplicate_spans_whitespace_and_guard(spark):
     assert out[2].n_tokens_removed == 4 and out[2].n_spans_removed == 1
     with _pytest.raises(ValueError):
         remove_duplicate_spans(docs, k=1)
+
+
+def test_remove_duplicate_spans_python_reference(spark):
+    """Third-engine check for ExactSubstr span dedup: a brute-force pure-
+    Python reference (dict of k-gram occurrences -> first-occurrence
+    keeper -> covered-position union -> rebuild) over the ENTIRE sf0.001
+    corpus must agree with the Spark operator on every column of every
+    document. Independent of both the Catalyst formulation and the
+    DuckDB oracle (which share an author)."""
+    import re
+    from collections import defaultdict
+
+    from amr_kg_spark.operators.dedup import remove_duplicate_spans
+
+    k = 8
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {
+        r.doc_id: (
+            r.text_deduped, r.n_tokens_kept, r.n_tokens_removed,
+            r.n_spans_removed,
+        )
+        for r in remove_duplicate_spans(docs, k=k)
+        .select(
+            "doc_id", "text_deduped", "n_tokens_kept",
+            "n_tokens_removed", "n_spans_removed",
+        )
+        .collect()
+    }
+
+    raw = {
+        r.doc_id: r.text
+        for r in docs.select("doc_id", "text").collect()
+    }
+    toks = {
+        i: [t for t in re.split(r"\s+", s) if t != ""]
+        for i, s in raw.items()
+    }
+    occ: dict = defaultdict(list)
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            occ[tuple(ts[p:p + k])].append((i, p))
+    covered: dict = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) >= 2:
+            keeper = min(lst)
+            for i, p in lst:
+                if (i, p) != keeper:
+                    covered[i].update(range(p, p + k))
+    support = 0
+    for i, ts in toks.items():
+        cut = covered.get(i, set())
+        kept = [t for p, t in enumerate(ts) if p not in cut]
+        runs = 0
+        prev = None
+        for p in sorted(cut):
+            if prev is None or p != prev + 1:
+                runs += 1
+            prev = p
+        want = (" ".join(kept), len(kept), len(cut), runs)
+        assert got[i] == want, (i, got[i], want)
+        support += len(cut)
+    assert support > 0, "fixture must carry duplicated spans"
