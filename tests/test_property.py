@@ -298,3 +298,72 @@ def test_bpe_encode_ids_properties(text):
         assert (i == 0) == (t not in vocab), (t, i)
     for sample in _BPE_TRAIN[:3]:
         assert 0 not in bpe_encode_ids(sample, ranks, vocab)
+
+
+def _ref_span_dedup(texts: dict, k: int) -> dict:
+    """Pure-python ExactSubstr reference (same policy as the full-corpus
+    check in test_datapipe): first-occurrence keeper by (id, pos),
+    covered-position union, contiguous-run span count."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        i: [t for t in re.split(r"\s+", s) if t != ""]
+        for i, s in texts.items()
+    }
+    occ = defaultdict(list)
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            occ[tuple(ts[p:p + k])].append((i, p))
+    covered = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) >= 2:
+            keeper = min(lst)
+            for i, p in lst:
+                if (i, p) != keeper:
+                    covered[i].update(range(p, p + k))
+    out = {}
+    for i, ts in toks.items():
+        cut = covered.get(i, set())
+        kept = [t for p, t in enumerate(ts) if p not in cut]
+        runs, prev = 0, None
+        for p in sorted(cut):
+            if prev is None or p != prev + 1:
+                runs += 1
+            prev = p
+        out[i] = (" ".join(kept), len(kept), len(cut), runs)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_span_dedup_matches_reference_on_degenerate_corpora(
+    spark, docs, k
+):
+    """Adversarial property: tiny 3-word alphabets force heavy k-gram
+    collisions, overlapping self-repeats and cross-doc chains — the
+    regime where interval-merge bookkeeping breaks if it is going to.
+    The Spark operator must equal the brute-force reference on every
+    column of every document."""
+    from amr_kg_spark.operators.dedup import remove_duplicate_spans
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    frame = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.text_deduped, r.n_tokens_kept, r.n_tokens_removed,
+            r.n_spans_removed,
+        )
+        for r in remove_duplicate_spans(frame, k=k).collect()
+    }
+    assert got == _ref_span_dedup(texts, k)
