@@ -1070,52 +1070,70 @@ def remove_duplicate_spans(
     tiny by definition for a mostly-unique corpus) merge per-doc with one
     gaps-and-islands window; the rebuild is a single join back to the
     docs plus O(tokens + islands) array arithmetic — the full corpus is
-    never exploded a second time."""
-    from ..session import fan_out
+    never exploded a second time.
+
+    Both multi-consumer intermediates are EAGERLY materialized
+    (``stable_checkpoint``, the engine-wide pattern of
+    :func:`ngram_jaccard_pairs` / :func:`minhash_pairs_native`): left
+    lazy, ``__toks`` feeds the gram explode AND the rebuild join (the
+    corpus re-tokenizes per branch) and ``grams`` feeds the duplicate
+    groupBy AND the removal-marking join — Catalyst re-derived the
+    O(total-tokens) explode + 50-token hash projection from the raw scan
+    in BOTH branches (the round-8 plan documented 2 Generate nodes and 3
+    parquet scans; the checkpoint makes it 1 Generate, 1 scan)."""
+    from ..session import fan_out, stable_checkpoint
 
     if k < 2:
         raise ValueError(f"span width k must be >= 2, got {k}")
 
     ws = r"\s+"
-    base = fan_out(docs).select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.col(text_col), ws), lambda t: t != ""
-        ).alias("__toks"),
-    ).withColumn("__n", F.size("__toks"))
+    base = stable_checkpoint(
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.col(text_col), ws), lambda t: t != ""
+            ).alias("__toks"),
+        )
+        .withColumn("__n", F.size("__toks"))
+    )
 
     # (id, pos, xxhash64(k-gram)) for every 0-based start position
-    grams = base.filter(F.col("__n") >= k).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("__n") - F.lit(k)),
-                lambda i: F.xxhash64(
-                    F.array_join(F.slice("__toks", i + F.lit(1), k), " ")
-                ),
-            )
-        ).alias("__pos", "__h"),
+    grams = stable_checkpoint(
+        base.filter(F.col("__n") >= k).select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - F.lit(k)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("__toks", i + F.lit(1), k), " ")
+                    ),
+                )
+            ).alias("__pos", "__h"),
+        )
+    )
+    # first-occurrence key, packed order-preservingly into ONE decimal:
+    # pk = id * 2^32 + pos is strictly increasing in lexicographic
+    # (id, pos) for any long id and 0 <= pos < 2^32, so min(pk) IS the
+    # min(struct(id, pos)) keeper. Packed because min over a struct only
+    # plans as SortAggregate (per-partition sort of the FULL gram stream
+    # on both sides of the exchange, O(T log T)); min over a fixed-width
+    # decimal stays in HashAggregate with map-side partial aggregation.
+    pk = (
+        F.col(id_col).cast("decimal(38,0)") * F.lit(1 << 32)
+        + F.col("__pos")
     )
     dup = (
         grams.groupBy("__h")
         .agg(
             F.count("*").alias("__cnt"),
-            F.min(
-                F.struct(
-                    F.col(id_col).alias("id"), F.col("__pos").alias("pos")
-                )
-            ).alias("__keep"),
+            F.min(pk).alias("__keep"),
         )
         .filter(F.col("__cnt") >= 2)
     )
     removals = (
         grams.join(dup, "__h")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col("__keep.id"))
-                & (F.col("__pos") == F.col("__keep.pos"))
-            )
-        )
+        .filter(pk != F.col("__keep"))
         .select(
             F.col(id_col),
             F.col("__pos").alias("__s"),

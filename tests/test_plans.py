@@ -232,10 +232,17 @@ def test_span_dedup_plan_shape(spark):
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
     assert "HashAggregate" in final
-    # the single fingerprint posexplode appears in BOTH branches of the
-    # detection/marking self-join (the two exchanges hash the same key
-    # but have different inputs, so there is nothing for ReuseExchange
-    # to reuse) — exactly 2 Generate nodes in the tree, and none of them
-    # in the rebuild, which is slice arithmetic over the un-exploded docs
+    # round 9: tokens and gram fingerprints are eagerly materialized
+    # (stable_checkpoint), so the O(total-tokens) posexplode runs exactly
+    # ONCE — inside the grams materialization job — and both branches of
+    # the detection/marking self-join read the checkpointed RDD (round 8
+    # had 2 Generate nodes + 3 corpus scans in THIS plan: the two
+    # exchanges hashed the same key but had different inputs, so
+    # ReuseExchange could not fire). The query plan itself therefore
+    # carries NO Generate and exactly one parquet scan of the docs (the
+    # outer join that re-attaches the original columns); every other
+    # input is a checkpoint scan.
     tree = final.split("\n\n")[0]
-    assert tree.count("Generate") == 2
+    assert tree.count("Generate") == 0
+    assert tree.count("Scan parquet") == 1
+    assert "ExistingRDD" in final
