@@ -35,17 +35,26 @@ def connected_components(
 ) -> DataFrame:
     """Label propagation CC. Input: undirected edge list (any orientation).
     Output: (node, component) with component = min node id reachable."""
-    sym = (
+    # The oriented edge list is materialized ONCE and the symmetrized
+    # view is a lazy union over the checkpoint: written as
+    # union(select(src,dst), select(dst,src)) over the raw `edges`, the
+    # whole upstream pair-building plan (candidate join + exact rerank
+    # for near-dup graphs) appears in BOTH union branches and executes
+    # twice. No distinct() on the union either: a duplicate edge only
+    # feeds the min-aggregate a redundant row (idempotent), while the
+    # distinct costs a full shuffle + aggregate of the EDGE TABLE — the
+    # largest frame a CC call touches — before the loop even starts
+    # (callers' pair lists are `id_a < id_b`-oriented, so the two
+    # orientations cannot collide anyway).
+    e = stable_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
     )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     ).transform(stable_checkpoint)
-    sym = sym.transform(stable_checkpoint)
 
     for _ in range(max_iter):
         # (1) min over direct neighbors — one hop of propagation
@@ -58,12 +67,17 @@ def connected_components(
             neighbor_min, labels["node"] == F.col("node2"), "left"
         ).select(
             "node",
+            F.col("component").alias("prev"),
             F.least(
                 F.col("component"), F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
         )
         # (2) pointer jumping: component := label(component) — doubles the
-        # propagation distance each iteration (O(log diameter) total)
+        # propagation distance each iteration (O(log diameter) total).
+        # The PREVIOUS label rides along so convergence is read off the
+        # checkpointed frame with a plain filter — the former
+        # new-vs-old-labels join was a second shuffle join per iteration
+        # spent only on the stop condition.
         parent = hop.select(
             F.col("node").alias("pnode"), F.col("component").alias("pcomp")
         )
@@ -71,19 +85,18 @@ def connected_components(
             hop.join(parent, hop["component"] == parent["pnode"], "left")
             .select(
                 "node",
+                "prev",
                 F.least(
                     F.col("component"), F.coalesce("pcomp", F.col("component"))
                 ).alias("component"),
             )
         ).transform(stable_checkpoint)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

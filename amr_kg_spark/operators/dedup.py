@@ -606,13 +606,12 @@ def dedup_keep_representatives(
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    drop = (
-        comp.withColumn(
-            "rep",
-            F.min("node").over(Window.partitionBy("component")),
-        )
-        .filter(F.col("node") != F.col("rep"))
-        .select(F.col("node").alias(id_col))
+    # representative = min id per cluster — which is exactly what
+    # label-propagation-to-min converged to: component IS the min node id
+    # reachable, so the min-over-component window (a shuffle + sort of
+    # the CC output spent recomputing an invariant) reduces to a filter.
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
 
