@@ -560,23 +560,30 @@ def minhash_pairs_native(
         *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"s{i}") for i in range(num_hashes)]
     )
     # the banding self-join moves ONLY (id, band, bh) — the shingle arrays
-    # rejoin afterwards for the (few) surviving candidate pairs
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"s{j * r + i}") for i in range(r)]
-                        ).alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # rejoin afterwards for the (few) surviving candidate pairs.
+    # Checkpointed: written lazily, BOTH sides of the self-join re-derive
+    # the signature subtree (full shingle explode + num_hashes xxhash64
+    # per shingle + the min-aggregation shuffle — the heaviest projection
+    # in the plan, and the round-8 plan showed it twice); materialized,
+    # it computes once and the self-join reads bands*|docs| tiny rows.
+    banded = stable_checkpoint(
+        sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"s{j * r + i}") for i in range(r)]
+                            ).alias("bh"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    )
 
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")

@@ -123,7 +123,15 @@ def detect_mentions(
                     out[ri].append((cls, m.group(0), int(st - row_starts[ri])))
             yield pd.Series(out)
 
-    return turns.withColumn("mentions", _detect(F.col(text_col)))
+    # asNondeterministic (guide-pattern for expensive UDFs): downstream
+    # explodes imply a `size(mentions) > 0` filter that the optimizer
+    # otherwise pushes BELOW the fan-out exchange and DUPLICATES the UDF
+    # — the round-8 kg_mentions plan carried two ArrowEvalPython nodes,
+    # the lower one scanning every text on the un-fanned (serial) scan
+    # side. The function is semantically deterministic; the flag only
+    # forbids the optimizer to clone or reorder it.
+    _detect_once = _detect.asNondeterministic()
+    return turns.withColumn("mentions", _detect_once(F.col(text_col)))
 
 
 def detect_mentions_jvm(

@@ -382,10 +382,18 @@ def q_tpch_q5(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
+    # lineitem-centric join order: the FACT table streams and every other
+    # input is the build side. Written (o ⋈ c) ⋈ li, the planner's
+    # inflated estimate for the o⋈c subtree made it broadcast LINEITEM
+    # itself (the largest table — a 600k-row hashed relation at sf0.1,
+    # and the one side that can never be broadcast at real scale).
+    # Inner-join reordering; the aggregate output is identical.
     return (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"])
+        .join(s.select("s_suppkey", "s_nationkey"),
+              li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
