@@ -412,6 +412,11 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    # NOTE (round-9 A/B): a single groupBy(id) with 32 conditional-sum
+    # aggregate slots was tried and measured SLOWER (0.65s -> 1.0s
+    # min-of-3 at sf0.1) than this bit-exploded form — the (id, bit)
+    # partial aggregation already compacts the shuffle to 32 longs per
+    # doc per map task, and the explode iterates in whole-stage codegen.
     votes = (
         toks.select(
             "id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")

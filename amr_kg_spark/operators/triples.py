@@ -36,12 +36,16 @@ RESISTANCE_MARKER = " resistant to "
 
 
 def _cls_array(cls: str) -> F.Column:
-    """Distinct mention strings of one class, from the mentions array."""
-    return F.array_distinct(
-        F.transform(
-            F.filter(F.col("mentions"), lambda m: m["entity_class"] == F.lit(cls)),
-            lambda m: m["mention"],
-        )
+    """Distinct mention strings of one class, from the mentions array.
+
+    One ``F.expr`` (JVM-parsed) instead of Python-lambda HOFs: identical
+    expression tree, but built in a single py4j call — query CONSTRUCTION
+    is driver-side Python and the lambda form cost ~0.17 s per
+    kg_triples/kg_nodes call in round-8 profiling (guide §1: the bench
+    times construction + planning + execution)."""
+    return F.expr(
+        "array_distinct(transform(filter(mentions, "
+        f"m -> m.entity_class = '{cls}'), m -> m.mention))"
     )
 
 
@@ -49,21 +53,15 @@ def cooccurrence_pairs(with_mentions: DataFrame) -> DataFrame:
     """Per-turn (subj_mention, pred, obj_mention) pairs — no shuffle.
 
     Pair construction is a per-row array cartesian (flatten∘transform),
-    evaluated inside the scan stage; returns one row per pair.
+    evaluated inside the scan stage; returns one row per pair. The
+    expressions are single ``F.expr`` strings (see :func:`_cls_array`).
     """
-    def cross(a: F.Column, b: F.Column, pred: str, swap: bool = False) -> F.Column:
-        return F.flatten(
-            F.transform(
-                a,
-                lambda x: F.transform(
-                    b,
-                    lambda y: F.struct(
-                        (y if swap else x).alias("subj_mention"),
-                        F.lit(pred).alias("pred"),
-                        (x if swap else y).alias("obj_mention"),
-                    ),
-                ),
-            )
+    def cross(a: str, b: str, pred: str, swap: bool = False) -> str:
+        subj, obj = ("y", "x") if swap else ("x", "y")
+        return (
+            f"flatten(transform({a}, x -> transform({b}, y -> "
+            f"named_struct('subj_mention', {subj}, 'pred', '{pred}', "
+            f"'obj_mention', {obj}))))"
         )
 
     df = with_mentions.withColumn("compounds", _cls_array("compound")) \
@@ -72,15 +70,17 @@ def cooccurrence_pairs(with_mentions: DataFrame) -> DataFrame:
         .withColumn("institutions", _cls_array("institution")) \
         .withColumn("is_resistant", F.col("text").contains(RESISTANCE_MARKER))
 
-    pairs = F.concat(
-        F.when(
-            F.col("is_resistant"),
-            cross(F.col("compounds"), F.col("pathogens"), "resistantTo", swap=True),
-        ).otherwise(
-            cross(F.col("compounds"), F.col("pathogens"), "testedAgainst")
-        ),
-        cross(F.col("compounds"), F.col("activities"), "hasActivity"),
-        cross(F.col("compounds"), F.col("institutions"), "studiedAt"),
+    pairs = F.expr(
+        "concat("
+        "CASE WHEN is_resistant THEN "
+        + cross("compounds", "pathogens", "resistantTo", swap=True)
+        + " ELSE "
+        + cross("compounds", "pathogens", "testedAgainst")
+        + " END, "
+        + cross("compounds", "activities", "hasActivity")
+        + ", "
+        + cross("compounds", "institutions", "studiedAt")
+        + ")"
     )
     return (
         df.withColumn("pair", F.explode(pairs))
@@ -184,17 +184,22 @@ def resolve_pairs(
     """
     rows = _entity_resolution_rows()
     if len(rows) <= literal_map_max:
-        kv: list[F.Column] = []
+        # ONE JVM-parsed map literal instead of 4*len(rows) py4j column
+        # constructions: the F.lit/F.struct/F.create_map form cost ~0.22 s
+        # of driver-side Python per query CONSTRUCTION (round-8
+        # profiling); the SQL string builds in microseconds and parses
+        # JVM-side to the identical constant-folded map.
+        def q(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        kv = []
         for mention, label, name, curie in rows:
-            kv.append(F.lit(mention))
+            c = q(curie) if curie is not None else "CAST(NULL AS STRING)"
             kv.append(
-                F.struct(
-                    F.lit(label).alias("label"),
-                    F.lit(name).alias("name"),
-                    (F.lit(curie) if curie is not None else F.lit(None).cast("string")).alias("curie"),
-                )
+                f"{q(mention)}, named_struct('label', {q(label)}, "
+                f"'name', {q(name)}, 'curie', {c})"
             )
-        lookup = F.create_map(*kv)
+        lookup = F.expr("map(" + ", ".join(kv) + ")")
 
         def side(df: DataFrame, col: str, out: str) -> DataFrame:
             hit = lookup[F.col(col)]
