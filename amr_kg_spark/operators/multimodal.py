@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import scan_parquet
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -44,7 +46,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic media table from the documents testdata:
     payload = utf-8 bytes of the text (an opaque blob as far as the
     pipeline is concerned), kind cycled by doc_id."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

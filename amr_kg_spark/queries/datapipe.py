@@ -36,11 +36,15 @@ _SHINGLES = (
 
 
 def _docs(spark, sf):
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    from ..session import scan_parquet
+
+    return scan_parquet(spark, f"{sf}/documents.parquet")
 
 
 def _emb(spark, sf):
-    return spark.read.parquet(f"{sf}/embeddings.parquet")
+    from ..session import scan_parquet
+
+    return scan_parquet(spark, f"{sf}/embeddings.parquet")
 
 
 # --- dedup -----------------------------------------------------------------

@@ -24,6 +24,7 @@ from ..operators.triples import (
     extract_triples,
     resolve_pairs,
 )
+from ..session import scan_parquet
 from ..transcripts import derive_transcripts, transcripts_oracle_cte
 from ..vocab import sql_values
 
@@ -184,7 +185,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.reconstruct import sessionize
 
     e = (
-        spark.read.parquet(f"{sf}/events.parquet")
+        scan_parquet(spark, f"{sf}/events.parquet")
         .select(
             F.col("user_id").cast("string").alias("conv_id"),
             F.row_number()
@@ -254,7 +255,7 @@ micdoc AS (
 def derive_mic_doc(spark: SparkSession, sf: str) -> DataFrame:
     from ..session import fan_out
 
-    fan_out(spark.read.parquet(f"{sf}/documents.parquet")).createOrReplaceTempView(
+    fan_out(scan_parquet(spark, f"{sf}/documents.parquet")).createOrReplaceTempView(
         "documents"
     )
     cp2 = sql_values(
@@ -285,7 +286,7 @@ def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     component is the min nation key within its region."""
     from ..operators.canonicalize import connected_components
 
-    n = spark.read.parquet(f"{sf}/nation.parquet")
+    n = scan_parquet(spark, f"{sf}/nation.parquet")
     edges = n.select(
         F.col("n_nationkey").cast("long").alias("src"),
         (F.col("n_regionkey").cast("long") + 1000).alias("dst"),

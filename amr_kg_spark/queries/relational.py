@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/{name}.parquet")
+    from ..session import scan_parquet
+
+    return scan_parquet(spark, f"{sf}/{name}.parquet")
 
 
 # --- P1/P3/P4/P6/P7: projection + conjunctive pushdown + membership filter

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from . import vocab
+from .session import scan_parquet
 
 _EPOCH = "2026-01-01 00:00:00"
 
@@ -89,6 +90,9 @@ def _fix_dialect(sql: str, dialect: str) -> str:
     return sql
 
 
+_TRANSCRIPTS_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load documents parquet and derive the transcripts DataFrame.
 
@@ -101,12 +105,25 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reconstruction/sessionization) repartition by conv_id anyway — a
     blanket fan_out at the source made kg_reconstruct ~1.8x slower at
     sf0.1 (A/B, min-of-3) for zero benefit.
+
+    The LAZY analyzed plan is memoized per (application, sf_dir):
+    re-parsing + re-analyzing the multi-kilobyte derivation CTE cost
+    ~0.13 s of driver time on EVERY kg-query construction (guide §1:
+    construction is inside the bench wall). Only the unexecuted plan is
+    cached — every action still scans the parquet files; results are
+    never reused across runs.
     """
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRANSCRIPTS_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    scan_parquet(spark, f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
     cte = _fix_dialect(transcripts_cte("spark"), "spark")
-    return spark.sql(f"WITH {cte} SELECT * FROM transcripts")
+    df = spark.sql(f"WITH {cte} SELECT * FROM transcripts")
+    _TRANSCRIPTS_PLAN_CACHE[key] = df
+    return df
 
 
 def transcripts_oracle_cte() -> str:
