@@ -50,10 +50,16 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # label init = the first propagation hop, for free: the node list
+    # needs a distinct() — an aggregate on the same key — so aggregating
+    # min(neighbor) instead of merely deduplicating seeds every label at
+    # least(node, min direct neighbor). Identical fixpoint (monotone
+    # min-propagation), one fewer loop iteration for every graph whose
+    # diameter the free hop covers (near-dup pair/star clusters converge
+    # in the INIT, leaving the loop only the no-change confirmation).
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
     ).transform(stable_checkpoint)
 
     for _ in range(max_iter):
