@@ -798,7 +798,12 @@ def dedup_lines(
     # is Java-regex-compatible (backslash-escapes every non-alphanumeric)
     sep_pat = re.escape(sep)
     pos = F.posexplode(F.split(F.col(text_col), sep_pat))
-    lines = docs.select(F.col(id_col), pos.alias("__pos", "__line"))
+    # materialized once (round-9): the segment explode feeds BOTH the
+    # exempt branch and the winners aggregate — left lazy, the corpus
+    # splits twice (same multi-consumer pattern as remove_duplicate_spans)
+    lines = stable_checkpoint(
+        docs.select(F.col(id_col), pos.alias("__pos", "__line"))
+    )
     exempt = lines.filter(F.length("__line") < F.lit(min_chars))
     winners = (
         lines.filter(F.length("__line") >= F.lit(min_chars))

@@ -240,19 +240,31 @@ def resolve_pairs(
 
 
 def build_nodes(resolved: DataFrame) -> DataFrame:
-    """Distinct typed nodes with deterministic ids (A1/A4 dedup)."""
-    subj = resolved.select(
-        F.col("subj_label").alias("label"),
-        F.col("subj").alias("name"),
-        F.col("subj_curie").alias("curie"),
-    )
-    obj = resolved.select(
-        F.col("obj_label").alias("label"),
-        F.col("obj").alias("name"),
-        F.col("obj_curie").alias("curie"),
+    """Distinct typed nodes with deterministic ids (A1/A4 dedup).
+
+    Both endpoints come out of ONE pass (explode of a two-struct array):
+    the former subj/obj union evaluated the entire upstream pipeline —
+    transcripts derivation + the Arrow mention UDF — once per branch
+    (round-9; same multiset of rows, so the distinct output is
+    identical: curie is functionally dependent on (label, name))."""
+    both = resolved.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj_label").alias("label"),
+                    F.col("subj").alias("name"),
+                    F.col("subj_curie").alias("curie"),
+                ),
+                F.struct(
+                    F.col("obj_label").alias("label"),
+                    F.col("obj").alias("name"),
+                    F.col("obj_curie").alias("curie"),
+                ),
+            )
+        ).alias("n")
     )
     return (
-        subj.unionByName(obj)
+        both.select("n.label", "n.name", "n.curie")
         .dropDuplicates(["label", "name"])
         .withColumn("node_id", F.xxhash64("label", "name"))
         .withColumn("props", F.create_map(F.lit("source"), F.lit("transcripts")))
@@ -284,16 +296,28 @@ def build_triples(resolved: DataFrame) -> DataFrame:
 
 def export_undirected(triples: DataFrame) -> DataFrame:
     """Reference's undirected Cypher export (src/amr.py:344): each triple in
-    both directions."""
-    fwd = triples.select("subj", "subj_curie", "pred", "obj", "obj_curie")
-    rev = triples.select(
-        F.col("obj").alias("subj"),
-        F.col("obj_curie").alias("subj_curie"),
-        "pred",
-        F.col("subj").alias("obj"),
-        F.col("subj_curie").alias("obj_curie"),
-    )
-    return fwd.unionByName(rev)
+    both directions.
+
+    One pass (explode of a two-struct array) instead of a fwd/rev union:
+    the union form evaluated the whole triple-extraction subtree — the
+    distinct aggregation and everything below it — once per branch
+    (round-9; same output multiset, order-insensitive surface)."""
+    return triples.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    "subj", "subj_curie", "pred", "obj", "obj_curie"
+                ),
+                F.struct(
+                    F.col("obj").alias("subj"),
+                    F.col("obj_curie").alias("subj_curie"),
+                    F.col("pred").alias("pred"),
+                    F.col("subj").alias("obj"),
+                    F.col("subj_curie").alias("obj_curie"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.subj", "t.subj_curie", "t.pred", "t.obj", "t.obj_curie")
 
 
 def extract_triples(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
