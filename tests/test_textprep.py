@@ -657,7 +657,12 @@ def test_new_textprep_plans_are_scale_shaped(spark):
     # line must never serialize into one sorted partition)
     assert "Window" not in p, p
     assert "partial_min" in p or "HashAggregate" in p
-    assert "Generate" in p
+    # round 9: the segment posexplode is eagerly materialized ONCE
+    # (stable_checkpoint) — it used to run in BOTH the exempt branch and
+    # the winners aggregate. The query plan itself therefore carries NO
+    # Generate; both branches read the checkpointed RDD.
+    assert "Generate" not in p, p
+    assert "ExistingRDD" in p, p
 
 
 def test_corpus_stats_approx_mode_within_tolerance(spark):
