@@ -827,7 +827,9 @@ def dedup_lines(
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                # native SortArray: collect_list yields no NULL elements, so
+                # this equals array_sort minus its interpreted comparator
+                F.sort_array(F.collect_list(F.struct("__pos", "__line"))),
                 lambda x: x["__line"],
             ),
             sep,
@@ -1240,7 +1242,9 @@ def remove_duplicate_spans(
         .agg(F.min("__s").alias("s"), F.max("__e").alias("e"))
         .groupBy(id_col)
         .agg(
-            F.array_sort(
+            # native SortArray (non-null structs): array_sort's default
+            # comparator is an interpreted lambda per element pair
+            F.sort_array(
                 F.collect_list(F.struct(F.col("s"), F.col("e")))
             ).alias("__cuts"),
             F.sum(F.col("e") - F.col("s") + 1).alias("__cut_toks"),

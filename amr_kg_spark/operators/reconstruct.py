@@ -49,7 +49,7 @@ def conversation_text(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
                     lambda s: s["text"],
                 ),
                 sep,
@@ -92,7 +92,7 @@ def conversation_text_salted(
     segments = bucketed.groupBy("conv_id", "turn_bucket").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
                 lambda s: s["text"],
             ),
             sep,
@@ -104,7 +104,7 @@ def conversation_text_salted(
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_bucket", "seg_text"))),
+                    F.sort_array(F.collect_list(F.struct("turn_bucket", "seg_text"))),
                     lambda s: s["seg_text"],
                 ),
                 sep,

@@ -444,7 +444,9 @@ def ivf_topk_join(
         ]
     )
     probes = F.transform(
-        F.slice(F.array_sort(probe_structs), 1, n_probe), lambda s: s["cid"]
+        # sort_array = array_sort minus the interpreted comparator (the
+        # literal centroid structs are never NULL; NaN ordering identical)
+        F.slice(F.sort_array(probe_structs), 1, n_probe), lambda s: s["cid"]
     )
     q = (
         queries.select(

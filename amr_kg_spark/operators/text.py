@@ -98,7 +98,11 @@ def with_signals(
     step = (
         docs.withColumn("__t", tokens_col(text_col))
         .withColumn("__g", grams)
-        .withColumn("__ts", F.array_sort(F.col("__t")))
+        # sort_array, NOT array_sort: the latter's default comparator is an
+        # interpreted lambda per element pair (same swap as ngram_jaccard's
+        # shingle sort); tokens are never NULL (split output), so the native
+        # SortArray ordering is result-identical
+        .withColumn("__ts", F.sort_array(F.col("__t")))
     )
     g = F.col("__g")
     ts = F.col("__ts")

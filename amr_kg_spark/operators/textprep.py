@@ -689,7 +689,9 @@ def _assemble_stream(
         )
         .filter(F.size("__piece") > 0)
     )
-    sorted_pieces = F.array_sort(
+    # native SortArray (no NULL elements out of collect_list): array_sort's
+    # default comparator is an interpreted lambda per element pair
+    sorted_pieces = F.sort_array(
         F.collect_list(F.struct("__seq_off", "__piece"))
     )
     aggs = [
