@@ -69,42 +69,50 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        hop = labels.join(
-            neighbor_min, labels["node"] == F.col("node2"), "left"
-        ).select(
-            "node",
-            F.col("component").alias("prev"),
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
+        # hop is materialized so the EDGE-sized join+aggregate above runs
+        # once per iteration: left lazy, it is re-evaluated by both sides
+        # of the pointer-jumping self-join below (the same multi-consumer
+        # pattern as the minhash/span-dedup checkpoints). Convergence is
+        # read off this SAME materialization, BEFORE pointer jumping:
+        # labels decrease monotonically (new <= hop <= prev pointwise), so
+        # hop == prev is exactly the iteration where the old post-jump
+        # check fired — and at the one-hop fixpoint every label equals its
+        # component minimum (labels are constant across a component and
+        # the min node labels itself), making the jump the identity. The
+        # confirming final iteration therefore skips the self-join
+        # entirely, and non-final iterations trade a node-sized
+        # materialization for an edge-sized re-evaluation.
+        hop = (
+            labels.join(
+                neighbor_min, labels["node"] == F.col("node2"), "left"
+            ).select(
+                "node",
+                F.col("component").alias("prev"),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        ).transform(stable_checkpoint)
+        changed = (
+            hop.filter(F.col("component") != F.col("prev")).limit(1).count()
         )
+        if changed == 0:
+            labels = hop.select("node", "component")
+            break
         # (2) pointer jumping: component := label(component) — doubles the
         # propagation distance each iteration (O(log diameter) total).
-        # The PREVIOUS label rides along so convergence is read off the
-        # checkpointed frame with a plain filter — the former
-        # new-vs-old-labels join was a second shuffle join per iteration
-        # spent only on the stop condition.
         parent = hop.select(
             F.col("node").alias("pnode"), F.col("component").alias("pcomp")
         )
-        new_labels = (
+        labels = (
             hop.join(parent, hop["component"] == parent["pnode"], "left")
             .select(
                 "node",
-                "prev",
                 F.least(
                     F.col("component"), F.coalesce("pcomp", F.col("component"))
                 ).alias("component"),
             )
         ).transform(stable_checkpoint)
-        changed = (
-            new_labels.filter(F.col("component") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.select("node", "component")
-        if changed == 0:
-            break
     return labels
 
 

@@ -147,6 +147,8 @@ def test_cc_iterations_logarithmic_in_diameter(spark, monkeypatch):
     )
     comp = C.connected_components(edges)
     assert comp.select("component").distinct().count() == 1
-    iters = calls["n"] - 2  # two checkpoints before the loop
+    # two checkpoints before the loop; each non-final iteration checkpoints
+    # hop + jumped labels, the confirming final iteration hop only
+    iters = (calls["n"] - 2 + 1) // 2
     bound = math.ceil(math.log2(n)) + 4  # doubling + convergence-confirm slack
     assert iters <= bound, f"{iters} iterations for diameter {n} (bound {bound})"
